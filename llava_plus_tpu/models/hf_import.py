@@ -1,0 +1,285 @@
+"""HF checkpoint import: torch/safetensors state dicts -> JAX pytrees.
+
+Covers the reference's checkpoint interop surface
+(``llava/model/builder.py:26-151``): full LLaVA checkpoints, plain LLaMA/
+Vicuna LMs, standalone CLIP towers, and ``mm_projector.bin`` adapters.
+Weights transpose from torch's [out, in] to our [in, out] and stack per-layer
+tensors along a leading L axis for ``lax.scan``.
+
+Everything here is host-side numpy; no torch required when reading
+safetensors (``safetensors.numpy``), torch used only for legacy ``.bin``.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from llava_plus_tpu.models.configs import (
+    ClipVisionConfig,
+    LlamaConfig,
+    LlavaConfig,
+)
+
+Array = np.ndarray
+StateDict = Dict[str, Array]
+
+
+def _np(x) -> Array:
+    """torch tensor / np array -> np array (host)."""
+    if isinstance(x, np.ndarray):
+        return x
+    # torch tensor (incl. bf16) -> numpy via float32 view when needed
+    try:
+        return x.detach().cpu().numpy()
+    except TypeError:
+        return x.detach().cpu().float().numpy()
+
+
+def _cast(a: Array, dtype) -> np.ndarray:
+    import jax.numpy as jnp
+
+    return np.asarray(jnp.asarray(a).astype(dtype))
+
+
+# ---------------------------------------------------------------------------
+# State-dict readers
+# ---------------------------------------------------------------------------
+
+def load_state_dict_dir(path) -> StateDict:
+    """Read all *.safetensors / pytorch_model*.bin in a checkpoint dir."""
+    path = Path(path)
+    sd: StateDict = {}
+    st_files = sorted(path.glob("*.safetensors"))
+    if st_files:
+        from safetensors.numpy import load_file
+
+        for f in st_files:
+            if f.name.endswith(".index.json"):
+                continue
+            try:
+                sd.update(load_file(str(f)))
+            except Exception:
+                # bf16 tensors load fine with numpy backend in recent
+                # safetensors; fall back to torch otherwise.
+                from safetensors.torch import load_file as tload
+
+                sd.update({k: _np(v) for k, v in tload(str(f)).items()})
+        return sd
+    bins = sorted(path.glob("pytorch_model*.bin")) or sorted(path.glob("*.bin"))
+    import torch
+
+    for f in bins:
+        part = torch.load(str(f), map_location="cpu", weights_only=True)
+        sd.update({k: _np(v) for k, v in part.items()})
+    return sd
+
+
+def strip_prefix(sd: StateDict, prefix: str) -> StateDict:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ---------------------------------------------------------------------------
+# LLaMA
+# ---------------------------------------------------------------------------
+
+def llama_params_from_state_dict(
+    sd: StateDict, cfg: LlamaConfig, dtype="bfloat16", prefix: str = ""
+):
+    """Keys: {prefix}model.embed_tokens.weight, {prefix}model.layers.N.*,
+    {prefix}lm_head.weight."""
+    g = lambda k: _np(sd[prefix + k])
+    L = cfg.num_hidden_layers
+
+    def stack(fmt: str, transpose: bool) -> np.ndarray:
+        mats = [g(fmt.format(i)) for i in range(L)]
+        out = np.stack([m.T if transpose else m for m in mats])
+        return out
+
+    params = {
+        "embed_tokens": g("model.embed_tokens.weight"),
+        "final_norm": g("model.norm.weight"),
+        "layers": {
+            "attn": {
+                "wq": stack("model.layers.{}.self_attn.q_proj.weight", True),
+                "wk": stack("model.layers.{}.self_attn.k_proj.weight", True),
+                "wv": stack("model.layers.{}.self_attn.v_proj.weight", True),
+                "wo": stack("model.layers.{}.self_attn.o_proj.weight", True),
+            },
+            "mlp": {
+                "w_gate": stack("model.layers.{}.mlp.gate_proj.weight", True),
+                "w_up": stack("model.layers.{}.mlp.up_proj.weight", True),
+                "w_down": stack("model.layers.{}.mlp.down_proj.weight", True),
+            },
+            "input_norm": stack("model.layers.{}.input_layernorm.weight", False),
+            "post_attn_norm": stack(
+                "model.layers.{}.post_attention_layernorm.weight", False
+            ),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = g("lm_head.weight").T
+    import jax
+
+    return jax.tree.map(lambda a: _cast(a, dtype), params)
+
+
+def llama_config_from_hf(d: dict) -> LlamaConfig:
+    return LlamaConfig(
+        vocab_size=d["vocab_size"],
+        hidden_size=d["hidden_size"],
+        intermediate_size=d["intermediate_size"],
+        num_hidden_layers=d["num_hidden_layers"],
+        num_attention_heads=d["num_attention_heads"],
+        num_key_value_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
+        max_position_embeddings=d.get("max_position_embeddings", 4096),
+        rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+        rope_theta=d.get("rope_theta", 10000.0),
+        tie_word_embeddings=d.get("tie_word_embeddings", False),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower
+# ---------------------------------------------------------------------------
+
+def clip_params_from_state_dict(
+    sd: StateDict, cfg: ClipVisionConfig, dtype="bfloat16", prefix: str = "vision_model."
+):
+    g = lambda k: _np(sd[prefix + k])
+    L = cfg.num_hidden_layers
+
+    def stack(fmt: str, transpose: bool) -> np.ndarray:
+        mats = [g(fmt.format(i)) for i in range(L)]
+        return np.stack([m.T if transpose else m for m in mats])
+
+    patch_w = g("embeddings.patch_embedding.weight")  # [D, 3, P, P]
+    D = patch_w.shape[0]
+    params = {
+        "class_embedding": g("embeddings.class_embedding").reshape(D),
+        "patch_embedding": patch_w.reshape(D, -1).T,  # [(C*P*P), D]
+        "position_embedding": g("embeddings.position_embedding.weight"),
+        # NB: HF's attribute really is spelled "pre_layrnorm".
+        "pre_layernorm": {
+            "scale": g("pre_layrnorm.weight"), "bias": g("pre_layrnorm.bias"),
+        },
+        "post_layernorm": {
+            "scale": g("post_layernorm.weight"), "bias": g("post_layernorm.bias"),
+        },
+        "layers": {
+            "ln1": {
+                "scale": stack("encoder.layers.{}.layer_norm1.weight", False),
+                "bias": stack("encoder.layers.{}.layer_norm1.bias", False),
+            },
+            "ln2": {
+                "scale": stack("encoder.layers.{}.layer_norm2.weight", False),
+                "bias": stack("encoder.layers.{}.layer_norm2.bias", False),
+            },
+            "attn": {
+                "wq": stack("encoder.layers.{}.self_attn.q_proj.weight", True),
+                "bq": stack("encoder.layers.{}.self_attn.q_proj.bias", False),
+                "wk": stack("encoder.layers.{}.self_attn.k_proj.weight", True),
+                "bk": stack("encoder.layers.{}.self_attn.k_proj.bias", False),
+                "wv": stack("encoder.layers.{}.self_attn.v_proj.weight", True),
+                "bv": stack("encoder.layers.{}.self_attn.v_proj.bias", False),
+                "wo": stack("encoder.layers.{}.self_attn.out_proj.weight", True),
+                "bo": stack("encoder.layers.{}.self_attn.out_proj.bias", False),
+            },
+            "mlp": {
+                "w1": stack("encoder.layers.{}.mlp.fc1.weight", True),
+                "b1": stack("encoder.layers.{}.mlp.fc1.bias", False),
+                "w2": stack("encoder.layers.{}.mlp.fc2.weight", True),
+                "b2": stack("encoder.layers.{}.mlp.fc2.bias", False),
+            },
+        },
+    }
+    import jax
+
+    return jax.tree.map(lambda a: _cast(a, dtype), params)
+
+
+def clip_config_from_hf(d: dict) -> ClipVisionConfig:
+    v = d.get("vision_config", d)
+    return ClipVisionConfig(
+        hidden_size=v["hidden_size"],
+        intermediate_size=v["intermediate_size"],
+        num_hidden_layers=v["num_hidden_layers"],
+        num_attention_heads=v["num_attention_heads"],
+        image_size=v["image_size"],
+        patch_size=v["patch_size"],
+        layer_norm_eps=v.get("layer_norm_eps", 1e-5),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projector
+# ---------------------------------------------------------------------------
+
+def projector_params_from_state_dict(
+    sd: StateDict, projector_type: str, dtype="bfloat16", prefix: str = ""
+):
+    """mm_projector weights: torch Sequential indices 0, 2, 4 ... are the
+    linear layers (GELUs between). Keys like ``{prefix}0.weight``."""
+    from llava_plus_tpu.models.projector import parse_projector_type
+
+    depth = parse_projector_type(projector_type)
+    if depth == 0:
+        return {}
+    layers = []
+    for i in range(depth):
+        idx = i * 2  # Sequential: Linear, GELU, Linear, GELU, ...
+        key_w = f"{prefix}{idx}.weight"
+        if key_w not in sd and depth == 1:
+            key_w, key_b = f"{prefix}weight", f"{prefix}bias"
+        else:
+            key_b = f"{prefix}{idx}.bias"
+        layers.append({"w": _np(sd[key_w]).T, "b": _np(sd[key_b])})
+    import jax
+
+    return jax.tree.map(lambda a: _cast(a, dtype), {"layers": layers})
+
+
+# ---------------------------------------------------------------------------
+# Full LLaVA checkpoints
+# ---------------------------------------------------------------------------
+
+def llava_config_from_hf_dir(path) -> LlavaConfig:
+    d = json.loads((Path(path) / "config.json").read_text())
+    vision_name = d.get("mm_vision_tower", "openai/clip-vit-large-patch14-336")
+    vision = ClipVisionConfig(
+        image_size=336 if "336" in str(vision_name) else 224,
+        select_layer=d.get("mm_vision_select_layer", -2),
+        select_feature=d.get("mm_vision_select_feature", "patch"),
+    )
+    return LlavaConfig(
+        language_model_type="llama",
+        text=llama_config_from_hf(d),
+        vision=vision,
+        mm_projector_type=d.get("mm_projector_type", "linear"),
+        mm_hidden_size=d.get("mm_hidden_size", 1024),
+        image_aspect_ratio=d.get("image_aspect_ratio", "square"),
+        mm_use_im_start_end=d.get("mm_use_im_start_end", False),
+        mm_use_im_patch_token=d.get("mm_use_im_patch_token", True),
+        max_sequence_length=d.get("tokenizer_model_max_length", 2048),
+    )
+
+
+def llava_params_from_hf_dir(path, cfg: Optional[LlavaConfig] = None, dtype="bfloat16"):
+    """Load a full LLaVA HF checkpoint directory (the reference's
+    "full llava ckpt" path, builder.py:100-106)."""
+    path = Path(path)
+    if cfg is None:
+        cfg = llava_config_from_hf_dir(path)
+    sd = load_state_dict_dir(path)
+    lm = llama_params_from_state_dict(sd, cfg.text, dtype=dtype)
+    vt = clip_params_from_state_dict(
+        sd, cfg.vision, dtype=dtype,
+        prefix="model.vision_tower.vision_tower.vision_model.",
+    )
+    proj = projector_params_from_state_dict(
+        sd, cfg.mm_projector_type, dtype=dtype, prefix="model.mm_projector.",
+    )
+    return {"language_model": lm, "vision_tower": vt, "mm_projector": proj}, cfg

@@ -1,0 +1,294 @@
+"""LLaMA/Vicuna decoder, TPU-native.
+
+Functional replacement for the reference's HF ``LlamaForCausalLM`` backbone
+(reached through ``llava/model/language_model/llava_llama.py``). Differences
+by design:
+
+- pure functions over a parameter pytree; no modules, no monkey patches —
+  the attention backend is an argument (``ops/attention.py``);
+- ``lax.scan`` over stacked layer parameters (single compiled layer body,
+  fast XLA compiles, natural remat point);
+- explicit ``positions`` and ``segment_ids`` everywhere, so prefill, padded
+  batches, and KV-cache decode are the same code path;
+- weights live as ``[in, out]`` matrices (x @ w), bf16 by default, fp32
+  master copies only in the optimizer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llava_plus_tpu.models.configs import LlamaConfig
+from llava_plus_tpu.ops.attention import attention
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Per-layer stacked KV cache.
+
+    k, v: [L, B, S, Hkv, Dh]; seg: [B, S] segment ids of written tokens
+    (0 = empty slot). Slot index == token position.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    seg: jax.Array
+
+    @classmethod
+    def create(
+        cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+    ) -> "KVCache":
+        shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            seg=jnp.zeros((batch, max_len), jnp.int32),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.bfloat16):
+    """Random-normal init (scale 0.02), shapes matching the HF layout after
+    transposition. Used for tests and from-scratch training."""
+    keys = iter(jax.random.split(key, 16))
+    D, F, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    H, Hkv, Dh, L = (
+        cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim,
+        cfg.num_hidden_layers,
+    )
+
+    def norm(key, *shape):
+        return (jax.random.normal(key, shape) * 0.02).astype(dtype)
+
+    layers = {
+        "attn": {
+            "wq": norm(next(keys), L, D, H * Dh),
+            "wk": norm(next(keys), L, D, Hkv * Dh),
+            "wv": norm(next(keys), L, D, Hkv * Dh),
+            "wo": norm(next(keys), L, H * Dh, D),
+        },
+        "mlp": {
+            "w_gate": norm(next(keys), L, D, F),
+            "w_up": norm(next(keys), L, D, F),
+            "w_down": norm(next(keys), L, F, D),
+        },
+        "input_norm": jnp.ones((L, D), dtype),
+        "post_attn_norm": jnp.ones((L, D), dtype),
+    }
+    params = {
+        "embed_tokens": norm(next(keys), V, D),
+        "layers": layers,
+        "final_norm": jnp.ones((D,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = norm(next(keys), D, V)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm with fp32 accumulation (matches HF LlamaRMSNorm)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
+    """cos/sin tables for the given positions: [..., head_dim] each.
+
+    Non-interleaved (rotate-half) layout, matching HF llama.
+    """
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., Dh/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, T, H, Dh]; cos/sin: [B, T, Dh]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(x.dtype)
+
+
+def embed_tokens(params, input_ids: jax.Array) -> jax.Array:
+    # Clamp sentinel/negative ids (e.g. IMAGE_TOKEN_INDEX) to 0; the caller
+    # overwrites those positions with image features before the decoder runs.
+    safe = jnp.where(input_ids < 0, 0, input_ids)
+    return jnp.take(params["embed_tokens"], safe, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def _layer_forward(
+    lp,
+    h: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    segment_ids: jax.Array,
+    positions: jax.Array,
+    cfg: LlamaConfig,
+    layer_cache: Optional[Tuple[jax.Array, jax.Array]],
+    cache_seg: Optional[jax.Array],
+    attn_impl: str,
+):
+    B, T, D = h.shape
+    H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    hn = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
+    q = (hn @ lp["attn"]["wq"]).reshape(B, T, H, Dh)
+    k = (hn @ lp["attn"]["wk"]).reshape(B, T, Hkv, Dh)
+    v = (hn @ lp["attn"]["wv"]).reshape(B, T, Hkv, Dh)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if layer_cache is not None:
+        k_cache, v_cache = layer_cache
+        # Write new k/v at their positions (slot == position).
+        b_idx = jnp.arange(B)[:, None]
+        k_cache = k_cache.at[b_idx, positions].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[b_idx, positions].set(v.astype(v_cache.dtype))
+        attn_out = attention(
+            q, k_cache, v_cache,
+            causal=True,
+            q_segment_ids=segment_ids,
+            kv_segment_ids=cache_seg,
+            q_offset=positions[:, 0] if T > 1 else positions[:, 0],
+            impl=attn_impl,
+        )
+        new_cache = (k_cache, v_cache)
+    else:
+        attn_out = attention(
+            q, k, v,
+            causal=True,
+            q_segment_ids=segment_ids,
+            kv_segment_ids=segment_ids,
+            impl=attn_impl,
+        )
+        new_cache = None
+
+    h = h + attn_out.reshape(B, T, H * Dh) @ lp["attn"]["wo"]
+
+    hn = rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
+    gate = jax.nn.silu((hn @ lp["mlp"]["w_gate"]).astype(jnp.float32)).astype(hn.dtype)
+    up = hn @ lp["mlp"]["w_up"]
+    h = h + (gate * up) @ lp["mlp"]["w_down"]
+    return h, new_cache
+
+
+def decoder_forward(
+    params,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,
+    *,
+    positions: jax.Array,
+    segment_ids: jax.Array,
+    cache: Optional[KVCache] = None,
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Run the decoder stack. Returns (hidden_states, updated_cache).
+
+    positions: [B, T] absolute positions (RoPE + cache slots).
+    segment_ids: [B, T] (0 = padding; >0 real tokens, distinct ids isolate
+    packed sequences).
+    """
+    h = inputs_embeds
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    new_cache_seg = None
+    if cache is not None:
+        b_idx = jnp.arange(h.shape[0])[:, None]
+        new_cache_seg = cache.seg.at[b_idx, positions].set(segment_ids)
+
+    def body(carry_h, xs):
+        if cache is not None:
+            lp, k_cache, v_cache = xs
+            h_out, (nk, nv) = _layer_forward(
+                lp, carry_h, cos, sin, segment_ids, positions, cfg,
+                (k_cache, v_cache), new_cache_seg, attn_impl,
+            )
+            return h_out, (nk, nv)
+        lp = xs
+        h_out, _ = _layer_forward(
+            lp, carry_h, cos, sin, segment_ids, positions, cfg,
+            None, None, attn_impl,
+        )
+        return h_out, None
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    if cache is not None:
+        h, (ks, vs) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(k=ks, v=vs, seg=new_cache_seg)
+    else:
+        h, _ = jax.lax.scan(body, h, params["layers"])
+        new_cache = None
+
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    return h, new_cache
+
+
+def lm_head(params, cfg: LlamaConfig, hidden: jax.Array) -> jax.Array:
+    """Project hidden states to fp32 logits."""
+    if cfg.tie_word_embeddings:
+        w = params["embed_tokens"].T
+    else:
+        w = params["lm_head"]
+    return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+
+
+def forward(
+    params,
+    cfg: LlamaConfig,
+    input_ids: Optional[jax.Array] = None,
+    *,
+    inputs_embeds: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
+    cache: Optional[KVCache] = None,
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Full forward: ids/embeds -> fp32 logits. Convenience wrapper."""
+    if inputs_embeds is None:
+        inputs_embeds = embed_tokens(params, input_ids)
+    B, T = inputs_embeds.shape[:2]
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    if segment_ids is None:
+        segment_ids = jnp.ones((B, T), jnp.int32)
+    h, new_cache = decoder_forward(
+        params, cfg, inputs_embeds,
+        positions=positions, segment_ids=segment_ids,
+        cache=cache, attn_impl=attn_impl, remat=remat,
+    )
+    return lm_head(params, cfg, h), new_cache

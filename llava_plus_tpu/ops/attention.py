@@ -1,0 +1,158 @@
+"""Attention entry point: one API, multiple backends.
+
+Replaces the reference's three interchangeable attention impls and monkey
+patches (``llava/model/language_model/mpt/attention.py:20-150``,
+``llava/train/llama_flash_attn_monkey_patch.py``) with explicit dispatch:
+
+- ``xla``:   reference implementation in pure jnp (runs anywhere; XLA already
+             fuses the softmax chain well on TPU).
+- ``pallas``: fused Pallas flash-attention kernel (TPU-only, the fast path —
+             see ``ops/flash_attention.py``).
+
+Layout: q [B, Tq, H, D]; k, v [B, Tkv, Hkv, D] with H % Hkv == 0 (GQA/MQA).
+All masking is expressed through ``segment_ids`` (padding) + ``causal`` +
+an optional additive ``bias`` (ALiBi), so every model variant in the
+framework uses the same kernel surface.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    bias: Optional[jax.Array] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    q_offset: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+) -> jax.Array:
+    """Reference attention in pure jnp with fp32 softmax accumulation.
+
+    ``q_offset``: position of q[0] within the kv sequence (scalar or [B]),
+    used for KV-cache decode where Tq < Tkv. Defaults to Tkv - Tq (the
+    standard "suffix" alignment).
+    """
+    B, Tq, H, D = q.shape
+    _, Tkv, Hkv, _ = k.shape
+    assert H % Hkv == 0, (H, Hkv)
+    groups = H // Hkv
+
+    scale = softmax_scale if softmax_scale is not None else D ** -0.5
+
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    if groups > 1:
+        qf = qf.reshape(B, Tq, Hkv, groups, D)
+        logits = jnp.einsum("btkgd,bskd->bkgts", qf, kf)
+        logits = logits.reshape(B, H, Tq, Tkv)
+    else:
+        logits = jnp.einsum("bthd,bshd->bhts", qf, kf)
+
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+
+    mask = None
+    if causal:
+        if q_offset is None:
+            offset = Tkv - Tq
+        else:
+            offset = q_offset
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tkv), 0)
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tkv), 1)
+        if isinstance(offset, jax.Array) and offset.ndim == 1:
+            causal_mask = kv_pos[None] <= q_pos[None] + offset[:, None, None]
+            mask = causal_mask[:, None]  # [B, 1, Tq, Tkv]
+        else:
+            causal_mask = kv_pos <= q_pos + offset
+            mask = causal_mask[None, None]
+    if q_segment_ids is not None or kv_segment_ids is not None:
+        assert q_segment_ids is not None and kv_segment_ids is not None
+        seg = (
+            (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :])
+            & (kv_segment_ids[:, None, :] != 0)
+        )[:, None]  # [B, 1, Tq, Tkv]
+        mask = seg if mask is None else (mask & seg)
+
+    if mask is not None:
+        logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    if groups > 1:
+        probs_r = probs.reshape(B, Hkv, groups, Tq, Tkv)
+        out = jnp.einsum("bkgts,bskd->btkgd", probs_r, vf)
+        out = out.reshape(B, Tq, H, D)
+    else:
+        out = jnp.einsum("bhts,bshd->bthd", probs, vf)
+    return out.astype(q.dtype)
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    bias: Optional[jax.Array] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    q_offset: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Dispatching attention. ``impl`` in {"auto", "xla", "pallas"}."""
+    if impl == "auto":
+        impl = "pallas" if _can_use_pallas(q, k, bias, q_offset) else "xla"
+    if impl == "pallas":
+        from llava_plus_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(
+            q, k, v,
+            causal=causal,
+            bias=bias,
+            q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids,
+            softmax_scale=softmax_scale,
+        )
+    return xla_attention(
+        q, k, v,
+        causal=causal, bias=bias,
+        q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+        q_offset=q_offset, softmax_scale=softmax_scale,
+    )
+
+
+def _can_use_pallas(q, k, bias, q_offset) -> bool:
+    if not _on_tpu():
+        return False
+    B, Tq, H, D = q.shape
+    Tkv = k.shape[1]
+    # The fused kernel targets training/prefill: suffix-aligned q, block-sized
+    # sequence lengths, MXU-friendly head dim.
+    if q_offset is not None:
+        return False
+    if Tq != Tkv:
+        return False
+    if D % 128 != 0 or Tq % 128 != 0:
+        return False
+    return True

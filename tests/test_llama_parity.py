@@ -1,0 +1,128 @@
+"""Numerical parity: our functional LLaMA decoder vs HF LlamaForCausalLM.
+
+fp32, tiny random config, CPU. This is the north-star logit-parity harness
+(BASELINE.md): if this drifts, everything downstream is wrong.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llava_plus_tpu.models import llama
+from llava_plus_tpu.models.hf_import import (
+    llama_config_from_hf,
+    llama_params_from_state_dict,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    import torch
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaForCausalLM
+
+    torch.manual_seed(0)
+    cfg = HFConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-5,
+        attention_bias=False,
+        tie_word_embeddings=False,
+    )
+    model = LlamaForCausalLM(cfg).eval()
+    return model, cfg
+
+
+def _our_params(hf_model):
+    model, hf_cfg = hf_model
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = llama_params_from_state_dict(sd, cfg, dtype=jnp.float32)
+    return params, cfg
+
+
+def test_logits_match_hf(hf_model):
+    import torch
+
+    model, _ = hf_model
+    params, cfg = _our_params(hf_model)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 128, size=(2, 9))
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.numpy()
+
+    ours, _ = llama.forward(params, cfg, jnp.asarray(ids), attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=2e-3)
+
+
+def test_logits_match_hf_with_padding(hf_model):
+    import torch
+
+    model, _ = hf_model
+    params, cfg = _our_params(hf_model)
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 128, size=(1, 6))
+    # right-pad to 10 and mask
+    padded = np.concatenate([ids, np.zeros((1, 4), dtype=ids.dtype)], axis=1)
+    seg = np.concatenate([np.ones((1, 6)), np.zeros((1, 4))], axis=1).astype(np.int32)
+
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.numpy()
+
+    ours, _ = llama.forward(
+        params, cfg, jnp.asarray(padded), segment_ids=jnp.asarray(seg),
+        attn_impl="xla",
+    )
+    np.testing.assert_allclose(np.asarray(ours)[:, :6], ref, atol=2e-4, rtol=2e-3)
+
+
+def test_incremental_decode_matches_prefill(hf_model):
+    """KV-cache decode must reproduce full-sequence logits exactly."""
+    params, cfg = _our_params(hf_model)
+    rng = np.random.default_rng(2)
+    T = 8
+    ids = jnp.asarray(rng.integers(0, 128, size=(2, T)))
+
+    full, _ = llama.forward(params, cfg, ids, attn_impl="xla")
+
+    cache = llama.KVCache.create(cfg, batch=2, max_len=16, dtype=jnp.float32)
+    # Prefill first 5 tokens through the cache path
+    pos = jnp.broadcast_to(jnp.arange(5, dtype=jnp.int32), (2, 5))
+    seg = jnp.ones((2, 5), jnp.int32)
+    logits, cache = llama.forward(
+        params, cfg, ids[:, :5], positions=pos, segment_ids=seg,
+        cache=cache, attn_impl="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full[:, :5]), atol=1e-4, rtol=1e-3
+    )
+    # Decode the rest one token at a time
+    for t in range(5, T):
+        pos = jnp.full((2, 1), t, jnp.int32)
+        seg = jnp.ones((2, 1), jnp.int32)
+        logits, cache = llama.forward(
+            params, cfg, ids[:, t : t + 1], positions=pos, segment_ids=seg,
+            cache=cache, attn_impl="xla",
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits[:, 0]), np.asarray(full[:, t]), atol=1e-4, rtol=1e-3
+        )
+
+
+def test_gqa_head_expansion(hf_model):
+    """num_heads != num_kv_heads path produces same shapes and finite values."""
+    params, cfg = _our_params(hf_model)
+    assert cfg.num_key_value_heads != cfg.num_attention_heads
+    ids = jnp.asarray(np.arange(12).reshape(1, 12) % 128)
+    logits, _ = llama.forward(params, cfg, ids, attn_impl="xla")
+    assert logits.shape == (1, 12, cfg.vocab_size)
+    assert bool(jnp.isfinite(logits).all())
