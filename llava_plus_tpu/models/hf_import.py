@@ -143,6 +143,73 @@ def llama_config_from_hf(d: dict) -> LlamaConfig:
 
 
 # ---------------------------------------------------------------------------
+# MPT
+# ---------------------------------------------------------------------------
+
+def mpt_params_from_state_dict(sd: StateDict, cfg, dtype="bfloat16", prefix: str = ""):
+    """Keys: {prefix}transformer.wte.weight, {prefix}transformer.blocks.N.*
+    (same layout as the vendored reference model and HF MptForCausalLM)."""
+    g = lambda k: _np(sd[prefix + k])
+    L = cfg.n_layers
+
+    def stack(fmt: str, transpose: bool) -> np.ndarray:
+        mats = [g(fmt.format(i)) for i in range(L)]
+        return np.stack([m.T if transpose else m for m in mats])
+
+    params = {
+        "wte": g("transformer.wte.weight"),
+        "norm_f": g("transformer.norm_f.weight"),
+        "layers": {
+            "norm1": stack("transformer.blocks.{}.norm_1.weight", False),
+            "norm2": stack("transformer.blocks.{}.norm_2.weight", False),
+            "attn": {
+                "wqkv": stack("transformer.blocks.{}.attn.Wqkv.weight", True),
+                "out_proj": stack("transformer.blocks.{}.attn.out_proj.weight", True),
+            },
+            "mlp": {
+                "up_proj": stack("transformer.blocks.{}.ffn.up_proj.weight", True),
+                "down_proj": stack("transformer.blocks.{}.ffn.down_proj.weight", True),
+            },
+        },
+    }
+    if prefix + "transformer.wpe.weight" in sd:
+        params["wpe"] = g("transformer.wpe.weight")
+    import jax
+
+    return jax.tree.map(lambda a: _cast(a, dtype), params)
+
+
+def mpt_config_from_hf(d: dict):
+    from llava_plus_tpu.models.configs import MptConfig
+
+    attn = d.get("attn_config", {}) or {}
+    # HF MptAttentionConfig uses attn_type; the vendored config uses attn_impl.
+    multiquery = (
+        attn.get("attn_type", "multihead_attention") == "multiquery_attention"
+    )
+    return MptConfig(
+        vocab_size=d["vocab_size"],
+        d_model=d["d_model"],
+        n_layers=d["n_layers"],
+        n_heads=d["n_heads"],
+        expansion_ratio=d.get("expansion_ratio", 4),
+        max_seq_len=d.get("max_seq_len", 2048),
+        alibi=attn.get("alibi", True),
+        alibi_bias_max=attn.get("alibi_bias_max", 8),
+        multiquery=multiquery,
+        prefix_lm=attn.get("prefix_lm", False),
+        attn_uses_sequence_id=attn.get("attn_uses_sequence_id", False),
+        clip_qkv=attn.get("clip_qkv"),
+        qk_ln=attn.get("qk_ln", False),
+        softmax_scale=attn.get("softmax_scale"),
+        no_bias=d.get("no_bias", True),
+        learned_pos_emb=d.get("learned_pos_emb", False),
+        layer_norm_eps=d.get("layer_norm_epsilon", 1e-5),
+        logit_scale=d.get("logit_scale"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # CLIP vision tower
 # ---------------------------------------------------------------------------
 

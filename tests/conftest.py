@@ -7,7 +7,7 @@ mode where needed. Must be set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,3 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("TRANSFORMERS_VERBOSITY", "error")
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
+# The axon sitecustomize registers the TPU backend at interpreter start and
+# overrides platform selection; jax.config wins over it.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
