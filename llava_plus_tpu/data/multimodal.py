@@ -110,7 +110,9 @@ def plan_multimodal_batch(
         np.full((B, T), ignore_index, dtype=np.int32)
         if labels_list is not None else None
     )
-    out_positions = np.zeros((B, T), dtype=np.int32)
+    # Pad positions point one past the usable range so KV-cache scatter
+    # writes (mode="drop") discard them instead of clobbering slot 0.
+    out_positions = np.full((B, T), max_len, dtype=np.int32)
     out_seg = np.zeros((B, T), dtype=np.int32)
     out_img_pos = np.full((B, max_imgs * num_patches), T, dtype=np.int32)
     lengths = np.zeros((B,), dtype=np.int32)

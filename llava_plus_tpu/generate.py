@@ -1,0 +1,228 @@
+"""Generation engine: jit-compiled prefill + decode with host-side streaming.
+
+Replaces the reference's HF ``generate()`` + Python-thread
+``TextIteratorStreamer`` (``llava/serve/model_worker.py:174-192``) with a
+TPU-shaped design: two compiled programs (bucketed prefill over the fused
+multimodal batch; a fixed-shape single-token decode step over the KV cache)
+driven by a host loop that yields cumulative text. Sampling (greedy /
+temperature / top-p) runs on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llava_plus_tpu.constants import IMAGE_TOKEN_INDEX
+from llava_plus_tpu.data.multimodal import pad_images, plan_multimodal_batch
+from llava_plus_tpu.models import llama, llava as llava_model, mpt
+from llava_plus_tpu.models.configs import LlavaConfig
+from llava_plus_tpu.models.llava import MultimodalBatch
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def sample_token(
+    logits: jax.Array,      # [B, V] fp32
+    key: jax.Array,
+    temperature: jax.Array,  # scalar fp32; 0 => greedy
+    top_p: jax.Array,        # scalar fp32 in (0, 1]
+) -> jax.Array:
+    """Temperature + nucleus sampling; greedy when temperature == 0."""
+    greedy = jnp.argmax(logits, axis=-1)
+
+    scaled = logits / jnp.maximum(temperature, 1e-6)
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    # keep tokens while cumulative mass (exclusive) < top_p; always keep top-1
+    keep_sorted = (cum - sorted_probs) < top_p
+    cutoff = jnp.max(jnp.where(keep_sorted, sorted_logits, -jnp.inf), axis=-1, keepdims=True)
+    filtered = jnp.where(scaled >= cutoff, scaled, -jnp.inf)
+    sampled = jax.random.categorical(key, filtered, axis=-1)
+
+    return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    text: str
+    output_ids: List[int]
+    prompt_tokens: int
+    completion_tokens: int
+
+
+class Generator:
+    """Compiled multimodal generation over one model.
+
+    Buckets prefill lengths to multiples of ``prefill_bucket`` so a handful of
+    compiles covers all prompts; the decode step compiles once per batch size.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: LlavaConfig,
+        tokenizer,
+        image_processor=None,
+        *,
+        max_seq_len: Optional[int] = None,
+        prefill_bucket: int = 128,
+        cache_dtype=jnp.bfloat16,
+        attn_impl: str = "auto",
+        donate_cache: bool = True,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.image_processor = image_processor
+        self.max_seq_len = max_seq_len or cfg.max_sequence_length
+        self.prefill_bucket = prefill_bucket
+        self.cache_dtype = cache_dtype
+        self.attn_impl = attn_impl
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _prefill(params, cache, batch: MultimodalBatch):
+            logits, cache = llava_model.forward(
+                params, self.cfg, batch, cache=cache, attn_impl=self.attn_impl
+            )
+            # gather logits at each sequence's last real token
+            last = jnp.maximum(jnp.sum(batch.segment_ids, axis=1) - 1, 0)
+            last_logits = jnp.take_along_axis(
+                logits, last[:, None, None], axis=1
+            )[:, 0]
+            return last_logits, cache
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _decode(params, cache, token, pos, key, temperature, top_p):
+            seg = jnp.ones_like(token, jnp.int32)
+            logits, cache = llava_model.decode_step(
+                params, self.cfg, token, pos, seg, cache, attn_impl=self.attn_impl
+            )
+            nxt = sample_token(logits[:, 0], key, temperature, top_p)
+            return nxt[:, None], cache
+
+        self._prefill = _prefill
+        self._decode = _decode
+
+    # ------------------------------------------------------------------
+
+    def _make_cache(self, batch_size: int):
+        if self.cfg.language_model_type == "mpt":
+            return mpt.create_cache(
+                self.cfg.mpt, batch_size, self.max_seq_len, self.cache_dtype
+            )
+        return llama.KVCache.create(
+            self.cfg.text, batch_size, self.max_seq_len, self.cache_dtype
+        )
+
+    def prepare_batch(
+        self,
+        prompts: Sequence[str],
+        images_per_prompt: Optional[Sequence[Optional[np.ndarray]]] = None,
+        max_images: int = 1,
+    ):
+        """Tokenize prompts (with <image> sentinels) and build the fused batch."""
+        from llava_plus_tpu.mm_utils import tokenizer_image_token
+
+        ids_list = [
+            np.asarray(tokenizer_image_token(p, self.tokenizer), dtype=np.int64)
+            for p in prompts
+        ]
+        n_patch = self.cfg.num_image_tokens
+        plan = plan_multimodal_batch(
+            ids_list,
+            num_patches=n_patch,
+            max_len=self.max_seq_len,
+            max_images=max_images,
+            pad_to_multiple=self.prefill_bucket,
+        )
+        img_hw = (self.cfg.vision.image_size, self.cfg.vision.image_size, 3)
+        if images_per_prompt is None:
+            images_per_prompt = [None] * len(prompts)
+        imgs = pad_images(list(images_per_prompt), max_images, img_hw)
+        batch = MultimodalBatch(
+            tokens=jnp.asarray(plan.tokens),
+            positions=jnp.asarray(plan.positions),
+            segment_ids=jnp.asarray(plan.segment_ids),
+            images=jnp.asarray(imgs),
+            image_pos=jnp.asarray(plan.image_pos),
+        )
+        return batch, plan
+
+    def stream(
+        self,
+        prompt: str,
+        images: Optional[np.ndarray] = None,
+        *,
+        max_new_tokens: int = 256,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        stop_strings: Sequence[str] = (),
+        seed: int = 0,
+    ) -> Iterator[str]:
+        """Yield cumulative generated text after each token (serving wire
+        semantics, ref model_worker.py:187-192)."""
+        imgs = None if images is None else [images]
+        batch, plan = self.prepare_batch([prompt], imgs)
+        prompt_len = int(plan.lengths[0])
+        self._last_prompt_len = prompt_len
+        self._last_output_ids: List[int] = []
+        budget = min(max_new_tokens, self.max_seq_len - prompt_len)
+
+        cache = self._make_cache(1)
+        last_logits, cache = self._prefill(self.params, cache, batch)
+
+        key = jax.random.PRNGKey(seed)
+        temp = jnp.float32(temperature)
+        tp = jnp.float32(top_p)
+        key, sub = jax.random.split(key)
+        token = sample_token(last_logits, sub, temp, tp)[:, None]
+
+        eos = self.tokenizer.eos_token_id
+        out_ids: List[int] = []
+        pos = prompt_len
+        for _ in range(max(budget, 0)):
+            tid = int(token[0, 0])
+            if tid == eos:
+                break
+            out_ids.append(tid)
+            self._last_output_ids = out_ids
+            text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
+            stopped = False
+            for s in stop_strings:
+                if s and s in text:
+                    text = text.split(s)[0]
+                    stopped = True
+            yield text
+            if stopped:
+                break
+            key, sub = jax.random.split(key)
+            token, cache = self._decode(
+                self.params, cache,
+                token, jnp.full((1, 1), pos, jnp.int32), sub, temp, tp,
+            )
+            pos += 1
+
+    def generate(
+        self,
+        prompt: str,
+        images: Optional[np.ndarray] = None,
+        **kw,
+    ) -> GenerationResult:
+        text = ""
+        for text in self.stream(prompt, images, **kw):
+            pass
+        return GenerationResult(
+            text=text,
+            output_ids=list(self._last_output_ids),
+            prompt_tokens=self._last_prompt_len,
+            completion_tokens=len(self._last_output_ids),
+        )

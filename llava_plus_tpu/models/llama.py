@@ -171,16 +171,21 @@ def _layer_forward(
 
     if layer_cache is not None:
         k_cache, v_cache = layer_cache
-        # Write new k/v at their positions (slot == position).
+        # Write new k/v at their positions (slot == position); padding rows
+        # carry position == max_len and drop out of range.
         b_idx = jnp.arange(B)[:, None]
-        k_cache = k_cache.at[b_idx, positions].set(k.astype(k_cache.dtype))
-        v_cache = v_cache.at[b_idx, positions].set(v.astype(v_cache.dtype))
+        k_cache = k_cache.at[b_idx, positions].set(
+            k.astype(k_cache.dtype), mode="drop"
+        )
+        v_cache = v_cache.at[b_idx, positions].set(
+            v.astype(v_cache.dtype), mode="drop"
+        )
         attn_out = attention(
             q, k_cache, v_cache,
             causal=True,
             q_segment_ids=segment_ids,
             kv_segment_ids=cache_seg,
-            q_offset=positions[:, 0] if T > 1 else positions[:, 0],
+            q_positions=positions,
             impl=attn_impl,
         )
         new_cache = (k_cache, v_cache)
@@ -226,7 +231,9 @@ def decoder_forward(
     new_cache_seg = None
     if cache is not None:
         b_idx = jnp.arange(h.shape[0])[:, None]
-        new_cache_seg = cache.seg.at[b_idx, positions].set(segment_ids)
+        new_cache_seg = cache.seg.at[b_idx, positions].set(
+            segment_ids, mode="drop"
+        )
 
     def body(carry_h, xs):
         if cache is not None:

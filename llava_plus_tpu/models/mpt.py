@@ -120,13 +120,17 @@ def _layer_forward(
     if layer_cache is not None:
         k_cache, v_cache = layer_cache
         b_idx = jnp.arange(B)[:, None]
-        k_cache = k_cache.at[b_idx, positions].set(k.astype(k_cache.dtype))
-        v_cache = v_cache.at[b_idx, positions].set(v.astype(v_cache.dtype))
+        k_cache = k_cache.at[b_idx, positions].set(
+            k.astype(k_cache.dtype), mode="drop"
+        )
+        v_cache = v_cache.at[b_idx, positions].set(
+            v.astype(v_cache.dtype), mode="drop"
+        )
         attn_out = attention(
             q, k_cache, v_cache,
             causal=True, bias=bias,
             q_segment_ids=segment_ids, kv_segment_ids=cache_seg,
-            q_offset=positions[:, 0],
+            q_positions=positions,
             softmax_scale=cfg.softmax_scale or Dh ** -0.5,
             impl=attn_impl,
         )
@@ -171,7 +175,9 @@ def decoder_forward(
     new_cache_seg = None
     if cache is not None:
         b_idx = jnp.arange(B)[:, None]
-        new_cache_seg = cache.seg.at[b_idx, positions].set(segment_ids)
+        new_cache_seg = cache.seg.at[b_idx, positions].set(
+            segment_ids, mode="drop"
+        )
         kv_pos = jnp.broadcast_to(jnp.arange(cache.max_len, dtype=jnp.int32), (B, cache.max_len))
     else:
         kv_pos = positions

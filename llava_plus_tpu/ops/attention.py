@@ -42,14 +42,15 @@ def xla_attention(
     bias: Optional[jax.Array] = None,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
-    q_offset: Optional[jax.Array] = None,
+    q_positions: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
 ) -> jax.Array:
     """Reference attention in pure jnp with fp32 softmax accumulation.
 
-    ``q_offset``: position of q[0] within the kv sequence (scalar or [B]),
-    used for KV-cache decode where Tq < Tkv. Defaults to Tkv - Tq (the
-    standard "suffix" alignment).
+    ``q_positions`` [B, Tq]: absolute position of each query within the kv
+    sequence (kv slot index == kv position). Used for KV-cache attention
+    where Tq != Tkv or rows are padded. Defaults to suffix alignment
+    (q[i] at position Tkv - Tq + i).
     """
     B, Tq, H, D = q.shape
     _, Tkv, Hkv, _ = k.shape
@@ -74,17 +75,13 @@ def xla_attention(
 
     mask = None
     if causal:
-        if q_offset is None:
-            offset = Tkv - Tq
-        else:
-            offset = q_offset
-        q_pos = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tkv), 0)
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tkv), 1)
-        if isinstance(offset, jax.Array) and offset.ndim == 1:
-            causal_mask = kv_pos[None] <= q_pos[None] + offset[:, None, None]
+        if q_positions is not None:
+            causal_mask = kv_pos[None] <= q_positions[:, :, None]
             mask = causal_mask[:, None]  # [B, 1, Tq, Tkv]
         else:
-            causal_mask = kv_pos <= q_pos + offset
+            q_pos = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tkv), 0)
+            causal_mask = kv_pos <= q_pos + (Tkv - Tq)
             mask = causal_mask[None, None]
     if q_segment_ids is not None or kv_segment_ids is not None:
         assert q_segment_ids is not None and kv_segment_ids is not None
@@ -116,13 +113,13 @@ def attention(
     bias: Optional[jax.Array] = None,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
-    q_offset: Optional[jax.Array] = None,
+    q_positions: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     impl: str = "auto",
 ) -> jax.Array:
     """Dispatching attention. ``impl`` in {"auto", "xla", "pallas"}."""
     if impl == "auto":
-        impl = "pallas" if _can_use_pallas(q, k, bias, q_offset) else "xla"
+        impl = "pallas" if _can_use_pallas(q, k, bias, q_positions) else "xla"
     if impl == "pallas":
         from llava_plus_tpu.ops.flash_attention import flash_attention
 
@@ -138,18 +135,18 @@ def attention(
         q, k, v,
         causal=causal, bias=bias,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
-        q_offset=q_offset, softmax_scale=softmax_scale,
+        q_positions=q_positions, softmax_scale=softmax_scale,
     )
 
 
-def _can_use_pallas(q, k, bias, q_offset) -> bool:
+def _can_use_pallas(q, k, bias, q_positions) -> bool:
     if not _on_tpu():
         return False
     B, Tq, H, D = q.shape
     Tkv = k.shape[1]
     # The fused kernel targets training/prefill: suffix-aligned q, block-sized
     # sequence lengths, MXU-friendly head dim.
-    if q_offset is not None:
+    if q_positions is not None:
         return False
     if Tq != Tkv:
         return False

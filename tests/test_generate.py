@@ -1,0 +1,107 @@
+"""Generation engine tests: greedy decode oracle, sampling, stop strings."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llava_plus_tpu.generate import Generator, sample_token
+from llava_plus_tpu.models import llava as llava_model
+from llava_plus_tpu.models.configs import tiny_llava_config
+
+
+class CharTokenizer:
+    """Deterministic char-level tokenizer for tests. ids: bos=1, eos=2,
+    chars offset by 3."""
+
+    bos_token_id = 1
+    eos_token_id = 2
+
+    def __call__(self, text):
+        ids = [self.bos_token_id] + [min(ord(c) + 3, 500) for c in text]
+        return type("Enc", (), {"input_ids": ids})()
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(i - 3) for i in ids if i > 2)
+
+    def batch_decode(self, rows, skip_special_tokens=True):
+        return [self.decode(list(r)) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def gen():
+    cfg = tiny_llava_config()
+    params = llava_model.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return Generator(
+        params, cfg, CharTokenizer(),
+        max_seq_len=96, prefill_bucket=32, cache_dtype=jnp.float32,
+        attn_impl="xla",
+    )
+
+
+def test_greedy_matches_uncached_oracle(gen):
+    """Greedy streaming must equal naive full-forward argmax generation."""
+    prompt = "hello"
+    n_new = 6
+
+    # oracle: grow the sequence, full forward each step, no cache
+    from llava_plus_tpu.models import llama
+
+    ids = list(gen.tokenizer(prompt).input_ids)
+    for _ in range(n_new):
+        logits, _ = llama.forward(
+            gen.params["language_model"], gen.cfg.text,
+            jnp.asarray([ids]), attn_impl="xla",
+        )
+        ids.append(int(jnp.argmax(logits[0, -1])))
+        if ids[-1] == gen.tokenizer.eos_token_id:
+            break
+    oracle_ids = [i for i in ids[len(gen.tokenizer(prompt).input_ids):]
+                  if i != gen.tokenizer.eos_token_id]
+
+    res = gen.generate(prompt, max_new_tokens=n_new, temperature=0.0)
+    assert res.text == gen.tokenizer.decode(oracle_ids)
+
+
+def test_stream_yields_cumulative(gen):
+    chunks = list(gen.stream("abc", max_new_tokens=4, temperature=0.0))
+    assert len(chunks) >= 1
+    for a, b in zip(chunks, chunks[1:]):
+        assert b.startswith(a[: len(a) - 1])  # cumulative (last char may change on decode boundary)
+
+
+def test_stop_string(gen):
+    # pick the first greedily generated char as a stop string
+    first = gen.generate("xyz", max_new_tokens=1, temperature=0.0).text
+    if not first:
+        pytest.skip("model immediately produced eos")
+    res = gen.generate("xyz", max_new_tokens=8, stop_strings=[first])
+    assert first not in res.text
+
+
+def test_sampling_with_temperature_runs(gen):
+    res = gen.generate("ab", max_new_tokens=5, temperature=0.8, top_p=0.9, seed=3)
+    assert isinstance(res.text, str)
+
+
+def test_multimodal_prompt_generation(gen):
+    img = np.zeros((1, 28, 28, 3), np.float32)
+    res = gen.generate("<image>\nwhat?", images=img, max_new_tokens=3)
+    assert isinstance(res.text, str)
+    assert res.prompt_tokens > gen.cfg.num_image_tokens
+
+
+def test_sample_token_greedy_vs_nucleus():
+    logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0]])
+    key = jax.random.PRNGKey(0)
+    g = sample_token(logits, key, jnp.float32(0.0), jnp.float32(1.0))
+    assert int(g[0]) == 1
+    # top_p tiny -> only argmax survives even at high temperature
+    s = sample_token(logits, key, jnp.float32(10.0), jnp.float32(1e-6))
+    assert int(s[0]) == 1
+    # full nucleus at temp>0 samples valid indices
+    for i in range(5):
+        k = jax.random.PRNGKey(i)
+        t = sample_token(logits, k, jnp.float32(1.0), jnp.float32(0.95))
+        assert 0 <= int(t[0]) < 4
