@@ -1,0 +1,342 @@
+"""Model worker: serves one multimodal model behind the controller.
+
+Wire-compatible rebuild of ``llava/serve/model_worker.py`` on aiohttp.
+Internally the reference's Python-thread + HF streamer becomes our jitted
+prefill/decode engine (``generate.py``); the HTTP surface — registration,
+heartbeats, semaphore-limited /worker_generate_stream with b"\\0"-delimited
+cumulative-text chunks — is identical.
+
+A backend abstraction separates protocol from model so the full serving
+topology is testable without weights (EchoBackend).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import threading
+import time
+import uuid
+from typing import Iterator, Optional
+
+from llava_plus_tpu.constants import (
+    DEFAULT_IM_END_TOKEN,
+    DEFAULT_IM_START_TOKEN,
+    DEFAULT_IMAGE_TOKEN,
+    WORKER_HEART_BEAT_INTERVAL,
+)
+from llava_plus_tpu.serve.protocol import encode_chunk
+from llava_plus_tpu.utils.logging import (
+    build_logger,
+    pretty_print_semaphore,
+    server_error_msg,
+)
+
+GB = 1 << 30
+
+worker_id = str(uuid.uuid4())[:6]
+logger = build_logger("model_worker", f"model_worker_{worker_id}.log")
+
+
+class EchoBackend:
+    """Protocol-test backend: streams the prompt + a canned echo."""
+
+    is_multimodal = True
+    context_len = 2048
+
+    def __init__(self, reply: str = "echo: ok", delay: float = 0.0):
+        self.reply = reply
+        self.delay = delay
+
+    def generate_stream(self, params: dict) -> Iterator[str]:
+        prompt = params["prompt"]
+        text = prompt
+        for piece in self.reply.split(" "):
+            if self.delay:
+                time.sleep(self.delay)
+            text += " " + piece
+            stop = params.get("stop")
+            out = text
+            if stop and out.endswith(stop):
+                out = out[: -len(stop)]
+            yield out
+
+
+class JaxBackend:
+    """Real backend: jitted prefill/decode over a loaded checkpoint."""
+
+    def __init__(self, model_path: str, model_base: Optional[str],
+                 model_name: Optional[str], *, load_dtype: str = "bfloat16"):
+        from llava_plus_tpu.models.builder import load_pretrained_model
+
+        (self.tokenizer, params, self.cfg, self.image_processor,
+         self.context_len) = load_pretrained_model(
+            model_path, model_base, model_name, dtype=load_dtype
+        )
+        from llava_plus_tpu.generate import Generator
+
+        self.generator = Generator(
+            params, self.cfg, self.tokenizer, self.image_processor,
+            max_seq_len=self.context_len,
+        )
+        self.is_multimodal = "llava" in (model_name or model_path).lower()
+
+    def generate_stream(self, params: dict) -> Iterator[str]:
+        import numpy as np
+
+        from llava_plus_tpu.mm_utils import (
+            load_image_from_base64, process_images,
+        )
+
+        prompt = params["prompt"]
+        ori_prompt = prompt
+        images = params.get("images", None)
+        num_image_tokens = 0
+        image_arrays = None
+        if images is not None and len(images) > 0 and self.is_multimodal:
+            if len(images) != prompt.count(DEFAULT_IMAGE_TOKEN):
+                raise ValueError(
+                    "Number of images does not match number of <image> tokens in prompt"
+                )
+            pil_images = [load_image_from_base64(im) for im in images]
+            image_arrays = process_images(
+                pil_images, self.image_processor, self.cfg
+            )
+            replace_token = DEFAULT_IMAGE_TOKEN
+            if self.cfg.mm_use_im_start_end:
+                replace_token = (
+                    DEFAULT_IM_START_TOKEN + replace_token + DEFAULT_IM_END_TOKEN
+                )
+            prompt = prompt.replace(DEFAULT_IMAGE_TOKEN, replace_token)
+            num_image_tokens = (
+                prompt.count(replace_token) * self.cfg.num_image_tokens
+            )
+
+        temperature = float(params.get("temperature", 1.0))
+        top_p = float(params.get("top_p", 1.0))
+        max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
+        stop_str = params.get("stop", None)
+        if temperature <= 0.001:
+            temperature = 0.0
+
+        prompt_tokens = len(self.generator.tokenizer(prompt).input_ids)
+        max_new_tokens = min(
+            max_new_tokens,
+            self.context_len - prompt_tokens - num_image_tokens,
+        )
+        if max_new_tokens < 1:
+            yield (
+                ori_prompt
+                + "Exceeds max token length. Please start a new conversation, thanks."
+            )
+            return
+
+        for text in self.generator.stream(
+            prompt,
+            images=image_arrays,
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            stop_strings=[stop_str] if stop_str else [],
+        ):
+            yield ori_prompt + text
+
+
+def heart_beat_worker(worker: "ModelWorker"):
+    while not worker._stop.wait(WORKER_HEART_BEAT_INTERVAL):
+        worker.send_heart_beat()
+
+
+class ModelWorker:
+    def __init__(
+        self,
+        controller_addr: str,
+        worker_addr: str,
+        backend,
+        model_names,
+        *,
+        limit_model_concurrency: int = 5,
+        no_register: bool = False,
+        heartbeats: bool = True,
+    ):
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.worker_id = worker_id
+        self.backend = backend
+        self.model_names = list(model_names)
+        self.limit_model_concurrency = limit_model_concurrency
+        self.semaphore: Optional[asyncio.Semaphore] = None
+        self.global_counter = 0
+        self._stop = threading.Event()
+        if not no_register:
+            self.register_to_controller()
+            if heartbeats:
+                t = threading.Thread(
+                    target=heart_beat_worker, args=(self,), daemon=True
+                )
+                t.start()
+
+    # -- control plane ------------------------------------------------------
+
+    def register_to_controller(self):
+        import requests
+
+        logger.info("Register to controller")
+        url = self.controller_addr + "/register_worker"
+        data = {
+            "worker_name": self.worker_addr,
+            "check_heart_beat": True,
+            "worker_status": self.get_status(),
+        }
+        r = requests.post(url, json=data)
+        assert r.status_code == 200
+
+    def send_heart_beat(self):
+        import requests
+
+        logger.info(
+            f"Send heart beat. Models: {self.model_names}. "
+            f"Semaphore: {pretty_print_semaphore(self.semaphore)}. "
+            f"global_counter: {self.global_counter}"
+        )
+        url = self.controller_addr + "/receive_heart_beat"
+        while True:
+            try:
+                ret = requests.post(url, json={
+                    "worker_name": self.worker_addr,
+                    "queue_length": self.get_queue_length(),
+                }, timeout=5)
+                exist = ret.json()["exist"]
+                break
+            except Exception as e:
+                logger.error(f"heart beat error: {e}")
+            time.sleep(5)
+        if not exist:
+            self.register_to_controller()
+
+    def get_queue_length(self) -> int:
+        if (
+            self.semaphore is None
+            or self.semaphore._value is None
+            or self.semaphore._waiters is None
+        ):
+            return 0
+        return (
+            self.limit_model_concurrency
+            - self.semaphore._value
+            + len(self.semaphore._waiters)
+        )
+
+    def get_status(self) -> dict:
+        return {
+            "model_names": self.model_names,
+            "speed": 1,
+            "queue_length": self.get_queue_length(),
+        }
+
+    def stop(self):
+        self._stop.set()
+
+    # -- data plane ---------------------------------------------------------
+
+    def generate_stream_gate(self, params: dict) -> Iterator[bytes]:
+        """Error-gated stream: text chunks -> wire chunks
+        (ref model_worker.py:194-218)."""
+        try:
+            for text in self.backend.generate_stream(params):
+                yield encode_chunk({"text": text, "error_code": 0})
+        except ValueError as e:
+            logger.error(f"Caught ValueError: {e}")
+            yield encode_chunk({
+                "text": f"{server_error_msg}\n\n({e})", "error_code": 1,
+            })
+        except Exception as e:
+            logger.error(f"Caught Unknown Error: {e}")
+            yield encode_chunk({
+                "text": f"{server_error_msg}\n\n({e})", "error_code": 1,
+            })
+
+
+# ---------------------------------------------------------------------------
+# HTTP app (aiohttp)
+# ---------------------------------------------------------------------------
+
+def build_app(worker: ModelWorker):
+    from aiohttp import web
+
+    routes = web.RouteTableDef()
+
+    @routes.post("/worker_generate_stream")
+    async def worker_generate_stream(request):
+        params = await request.json()
+        worker.global_counter += 1
+        if worker.semaphore is None:
+            worker.semaphore = asyncio.Semaphore(worker.limit_model_concurrency)
+        await worker.semaphore.acquire()
+        worker.send_heart_beat()
+        resp = web.StreamResponse()
+        await resp.prepare(request)
+        loop = asyncio.get_event_loop()
+        try:
+            gen = worker.generate_stream_gate(params)
+            while True:
+                chunk = await loop.run_in_executor(None, next, gen, None)
+                if chunk is None:
+                    break
+                await resp.write(chunk)
+        finally:
+            worker.semaphore.release()
+            worker.send_heart_beat()
+        await resp.write_eof()
+        return resp
+
+    @routes.post("/worker_get_status")
+    async def worker_get_status(request):
+        return web.json_response(worker.get_status())
+
+    app = web.Application()
+    app.add_routes(routes)
+    return app
+
+
+def main():
+    from aiohttp import web
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", type=str, default="localhost")
+    parser.add_argument("--port", type=int, default=21002)
+    parser.add_argument("--worker-address", type=str,
+                        default="http://localhost:21002")
+    parser.add_argument("--controller-address", type=str,
+                        default="http://localhost:21001")
+    parser.add_argument("--model-path", type=str, default=None)
+    parser.add_argument("--model-base", type=str, default=None)
+    parser.add_argument("--model-name", type=str, default=None)
+    parser.add_argument("--limit-model-concurrency", type=int, default=5)
+    parser.add_argument("--no-register", action="store_true")
+    parser.add_argument("--echo", action="store_true",
+                        help="protocol-test echo backend (no model)")
+    args = parser.parse_args()
+    logger.info(f"args: {args}")
+
+    if args.echo or args.model_path is None:
+        backend = EchoBackend()
+        model_names = [args.model_name or "echo"]
+    else:
+        from llava_plus_tpu.mm_utils import get_model_name_from_path
+
+        name = args.model_name or get_model_name_from_path(args.model_path)
+        backend = JaxBackend(args.model_path, args.model_base, name)
+        model_names = [name]
+
+    worker = ModelWorker(
+        args.controller_address, args.worker_address, backend, model_names,
+        limit_model_concurrency=args.limit_model_concurrency,
+        no_register=args.no_register,
+    )
+    web.run_app(build_app(worker), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()
