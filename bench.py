@@ -125,6 +125,8 @@ def run(model_name: str):
     )
     sync(tok)
 
+    del cache, tok  # free warmup buffers before the timed run
+
     # Timed: TTFT (prefill incl. vision encode)
     t0 = time.perf_counter()
     cache2 = make_cache()
@@ -162,14 +164,20 @@ def run(model_name: str):
 
 
 def main():
+    # Each attempt runs in a fresh subprocess: a failed (OOM) attempt must not
+    # leak device buffers into the fallback.
+    import subprocess
+
     for model in ("llava-1.5-7b", "llava-1.5-7b-lite", "tiny"):
-        try:
-            result = run(model)
-            print(json.dumps(result))
-            return
-        except Exception as e:  # OOM or compile failure -> smaller shape
-            print(f"bench: {model} failed ({type(e).__name__}): {e}",
-                  file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--model", model],
+            capture_output=True, text=True, timeout=3600,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        print(f"bench: {model} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
     print(json.dumps({
         "metric": "serving_images_plus_tokens_per_sec_per_chip",
         "value": 0.0, "unit": "img+tok/s/chip", "vs_baseline": 0.0,
@@ -177,4 +185,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, default=None)
+    args = parser.parse_args()
+    if args.model:
+        print(json.dumps(run(args.model)))
+    else:
+        main()

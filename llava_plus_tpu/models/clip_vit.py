@@ -27,7 +27,7 @@ def init_params(cfg: ClipVisionConfig, key: jax.Array, dtype=jnp.bfloat16):
     P = cfg.patch_size
 
     def norm(key, *shape, scale=0.02):
-        return (jax.random.normal(key, shape) * scale).astype(dtype)
+        return jax.random.normal(key, shape, dtype) * scale
 
     def ln():
         return {"scale": jnp.ones((L, D), dtype), "bias": jnp.zeros((L, D), dtype)}

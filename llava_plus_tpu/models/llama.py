@@ -74,7 +74,9 @@ def init_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.bfloat16):
     )
 
     def norm(key, *shape):
-        return (jax.random.normal(key, shape) * 0.02).astype(dtype)
+        # generate directly in target dtype: avoids transient fp32 copies
+        # (a 7B init would otherwise spike ~2 GB per stacked tensor)
+        return jax.random.normal(key, shape, dtype) * 0.02
 
     layers = {
         "attn": {

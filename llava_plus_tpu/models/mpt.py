@@ -56,7 +56,7 @@ def init_params(cfg: MptConfig, key: jax.Array, dtype=jnp.bfloat16):
     kv_dim = cfg.kv_heads * cfg.head_dim
 
     def norm(key, *shape):
-        return (jax.random.normal(key, shape) * 0.02).astype(dtype)
+        return jax.random.normal(key, shape, dtype) * 0.02
 
     layers = {
         "norm1": jnp.ones((L, D), dtype),

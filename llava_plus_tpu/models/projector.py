@@ -34,7 +34,7 @@ def init_params(projector_type: str, mm_hidden_size: int, hidden_size: int,
     d_in = mm_hidden_size
     for i in range(depth):
         layers.append({
-            "w": (jax.random.normal(keys[i], (d_in, hidden_size)) * 0.02).astype(dtype),
+            "w": jax.random.normal(keys[i], (d_in, hidden_size), dtype) * 0.02,
             "b": jnp.zeros((hidden_size,), dtype),
         })
         d_in = hidden_size
