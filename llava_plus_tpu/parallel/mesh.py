@@ -37,8 +37,9 @@ def make_mesh(
     if fsdp is None:
         assert n % (dp * tp) == 0, (n, dp, tp)
         fsdp = n // (dp * tp)
-    assert dp * fsdp * tp == n, f"{dp}x{fsdp}x{tp} != {n}"
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    need = dp * fsdp * tp
+    assert need <= n, f"{dp}x{fsdp}x{tp} > {n} devices"
+    arr = np.asarray(devices[:need]).reshape(dp, fsdp, tp)
     return Mesh(arr, AXES)
 
 

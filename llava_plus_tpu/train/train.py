@@ -1,0 +1,372 @@
+"""Training driver: the two-stage visual instruction tuning recipes.
+
+Rebuild of ``llava/train/train.py:805-1000`` + ``llava_trainer.py`` on the
+jitted train step. The HF Trainer + DeepSpeed stack collapses into: build
+params (HF import or fresh) -> place on the (dp, fsdp, tp) mesh -> loop
+{sample, collate, step} -> orbax checkpoints (+ HF-format exports).
+
+CLI mirrors the reference's argument surface (ModelArguments /
+DataArguments / TrainingArguments) so the shell recipes port 1:1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from llava_plus_tpu import conversation as conversation_lib
+from llava_plus_tpu.data.dataset import (
+    DataConfig,
+    LengthGroupedSampler,
+    collate_batch,
+    make_supervised_dataset,
+)
+from llava_plus_tpu.data.image_processing import processor_for_vision_tower
+from llava_plus_tpu.models.configs import LlavaConfig, tiny_llava_config
+from llava_plus_tpu.train.optimizer import OptimizerConfig, build_optimizer
+from llava_plus_tpu.utils.logging import build_logger
+
+logger = build_logger("train", "train.log")
+
+
+@dataclasses.dataclass
+class ModelArguments:
+    model_name_or_path: Optional[str] = None
+    version: str = "v1"
+    vision_tower: Optional[str] = None
+    mm_vision_select_layer: int = -2
+    mm_vision_select_feature: str = "patch"
+    mm_projector_type: str = "mlp2x_gelu"
+    pretrain_mm_mlp_adapter: Optional[str] = None
+    tune_mm_mlp_adapter: bool = False
+    freeze_backbone: bool = False
+    mm_use_im_start_end: bool = False
+    mm_use_im_patch_token: bool = False
+    tiny_debug_model: bool = False  # tests/CI: random tiny model
+
+
+@dataclasses.dataclass
+class DataArguments:
+    data_path: str = ""
+    image_folder: str = ""
+    image_aspect_ratio: str = "square"
+    lazy_preprocess: bool = True
+    is_multimodal: bool = True
+
+
+@dataclasses.dataclass
+class TrainingArguments:
+    output_dir: str = "./checkpoints/run"
+    num_train_epochs: int = 1
+    per_device_train_batch_size: int = 16
+    gradient_accumulation_steps: int = 1
+    learning_rate: float = 2e-5
+    mm_projector_lr: Optional[float] = None
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03
+    lr_scheduler_type: str = "cosine"
+    model_max_length: int = 2048
+    save_steps: int = 500
+    logging_steps: int = 1
+    group_by_modality_length: bool = False
+    gradient_checkpointing: bool = True
+    bf16: bool = True
+    lora_enable: bool = False
+    lora_r: int = 128
+    lora_alpha: int = 256
+    lora_dropout: float = 0.05
+    dp: int = 1
+    fsdp_axis: Optional[int] = None
+    tp: int = 1
+    seed: int = 42
+    max_steps: Optional[int] = None
+    resume: bool = True
+
+
+def build_model(model_args: ModelArguments, dtype):
+    """Construct (params, cfg) per the stage recipes."""
+    import jax
+    import jax.numpy as jnp
+
+    from llava_plus_tpu.models import llava as llava_model
+
+    if model_args.tiny_debug_model or model_args.model_name_or_path is None:
+        cfg = tiny_llava_config()
+        params = llava_model.init_params(
+            cfg, jax.random.PRNGKey(0),
+            jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        )
+        return params, cfg, None
+
+    from llava_plus_tpu.models.builder import load_pretrained_model
+
+    tokenizer, params, cfg, _proc, _ctx = load_pretrained_model(
+        model_args.model_name_or_path, dtype=dtype
+    )
+    if model_args.pretrain_mm_mlp_adapter:
+        import torch
+
+        from llava_plus_tpu.models import hf_import
+
+        sd = torch.load(model_args.pretrain_mm_mlp_adapter,
+                        map_location="cpu", weights_only=True)
+        sd = {k.replace("model.mm_projector.", ""): v for k, v in sd.items()}
+        params["mm_projector"] = hf_import.projector_params_from_state_dict(
+            sd, cfg.mm_projector_type, dtype=dtype
+        )
+    return params, cfg, tokenizer
+
+
+def train(model_args: ModelArguments, data_args: DataArguments,
+          training_args: TrainingArguments, tokenizer=None):
+    import jax
+    import jax.numpy as jnp
+
+    from llava_plus_tpu.models.llava import MultimodalBatch
+    from llava_plus_tpu.parallel.mesh import make_mesh
+    from llava_plus_tpu.train import checkpoint as ckpt_lib
+    from llava_plus_tpu.train.step import (
+        init_opt_state, make_train_step, place_batch, place_params,
+    )
+
+    dtype = "bfloat16" if training_args.bf16 else "float32"
+    params, cfg, loaded_tokenizer = build_model(model_args, dtype)
+    tokenizer = tokenizer or loaded_tokenizer
+    assert tokenizer is not None, "a tokenizer is required for training"
+
+    conv = conversation_lib.conv_templates.get(
+        model_args.version, conversation_lib.default_conversation
+    )
+
+    # dataset -------------------------------------------------------------
+    data_cfg = DataConfig(
+        data_path=data_args.data_path,
+        image_folder=data_args.image_folder,
+        image_aspect_ratio=(
+            data_args.image_aspect_ratio
+            if data_args.image_aspect_ratio != "square" else None
+        ),
+        is_multimodal=data_args.is_multimodal,
+        mm_use_im_start_end=model_args.mm_use_im_start_end,
+        conv_version=conv.version,
+    )
+    from llava_plus_tpu.data.image_processing import ClipImageProcessor
+
+    if model_args.vision_tower:
+        image_processor = processor_for_vision_tower(model_args.vision_tower)
+    else:
+        image_processor = ClipImageProcessor(
+            shortest_edge=cfg.vision.image_size,
+            crop_size=cfg.vision.image_size,
+        )
+    dataset = make_supervised_dataset(tokenizer, data_cfg, image_processor, conv)
+    logger.info(f"train_dataset size: {len(dataset)}")
+
+    batch_size = training_args.per_device_train_batch_size
+    steps_per_epoch = max(len(dataset) // batch_size, 1)
+    total_steps = training_args.max_steps or (
+        steps_per_epoch * training_args.num_train_epochs
+    )
+
+    # optimizer -----------------------------------------------------------
+    opt_cfg = OptimizerConfig(
+        learning_rate=training_args.learning_rate,
+        mm_projector_lr=training_args.mm_projector_lr,
+        weight_decay=training_args.weight_decay,
+        warmup_ratio=training_args.warmup_ratio,
+        total_steps=total_steps,
+        schedule="cosine" if training_args.lr_scheduler_type == "cosine" else "constant",
+        train_language_model=not (
+            model_args.tune_mm_mlp_adapter or model_args.freeze_backbone
+        ),
+        train_mm_projector=True,
+        train_vision_tower=False,
+    )
+    lora_cfg = None
+    lora_params = None
+    if training_args.lora_enable:
+        from llava_plus_tpu.train.lora import LoraConfig, init_lora_params
+
+        lora_cfg = LoraConfig(
+            r=training_args.lora_r, alpha=training_args.lora_alpha,
+            dropout=training_args.lora_dropout,
+        )
+        lora_params = init_lora_params(
+            params["language_model"], lora_cfg, jax.random.PRNGKey(1)
+        )
+        opt_cfg = dataclasses.replace(opt_cfg, train_language_model=False)
+
+    optimizer = build_optimizer(params, opt_cfg)
+
+    # mesh + placement ----------------------------------------------------
+    n_dev = len(jax.devices())
+    fsdp = training_args.fsdp_axis or (n_dev // (training_args.dp * training_args.tp))
+    mesh = make_mesh(training_args.dp, fsdp, training_args.tp)
+    params = place_params(params, mesh, cfg)
+    opt_state = init_opt_state(optimizer, params)
+
+    step_fn = make_train_step(
+        cfg, optimizer, remat=training_args.gradient_checkpointing,
+    )
+    if training_args.lora_enable:
+        from llava_plus_tpu.train.lora import apply_lora
+
+        import optax as _optax
+
+        lora_opt = _optax.adamw(training_args.learning_rate)
+        lora_opt_state = lora_opt.init(lora_params)
+
+        def lora_step(lora_params, lora_opt_state, base_params, batch):
+            def loss(lp):
+                from llava_plus_tpu.train.step import loss_fn
+
+                merged = dict(
+                    base_params,
+                    language_model=apply_lora(
+                        base_params["language_model"], lp, lora_cfg
+                    ),
+                )
+                return loss_fn(merged, cfg, batch,
+                               remat=training_args.gradient_checkpointing)
+
+            (l, metrics), grads = jax.value_and_grad(loss, has_aux=True)(lora_params)
+            updates, lora_opt_state = lora_opt.update(
+                grads, lora_opt_state, lora_params
+            )
+            lora_params = _optax.apply_updates(lora_params, updates)
+            import optax as __optax
+
+            metrics = dict(metrics, grad_norm=__optax.global_norm(grads))
+            return lora_params, lora_opt_state, metrics
+
+        lora_step = jax.jit(lora_step, donate_argnums=(0, 1))
+
+    # resume --------------------------------------------------------------
+    start_step = 0
+    out_dir = Path(training_args.output_dir)
+    if training_args.resume:
+        latest = ckpt_lib.latest_checkpoint(out_dir)
+        if latest is not None:
+            state, start_step = ckpt_lib.restore_train_state(
+                latest, params, opt_state
+            )
+            params, opt_state = state["params"], state["opt_state"]
+            logger.info(f"resumed from {latest} at step {start_step}")
+
+    # sampler -------------------------------------------------------------
+    if training_args.group_by_modality_length:
+        sampler = LengthGroupedSampler(
+            batch_size, world_size=1, lengths=dataset.modality_lengths,
+            group_by_modality=True, seed=training_args.seed,
+        )
+    else:
+        sampler = None
+
+    # loop ----------------------------------------------------------------
+    step = start_step
+    rng = np.random.default_rng(training_args.seed)
+    t_last = time.time()
+    while step < total_steps:
+        order = list(iter(sampler)) if sampler is not None else list(
+            rng.permutation(len(dataset))
+        )
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            if step >= total_steps:
+                break
+            idxs = order[i : i + batch_size]
+            instances = [dataset[j] for j in idxs]
+            arrays = collate_batch(
+                instances,
+                num_patches=cfg.num_image_tokens,
+                max_len=training_args.model_max_length,
+                image_size=cfg.vision.image_size,
+                pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0,
+            )
+            batch = MultimodalBatch(**{
+                k: jax.numpy.asarray(v) for k, v in arrays.items()
+            })
+            batch = place_batch(batch, mesh)
+            if training_args.lora_enable:
+                lora_params, lora_opt_state, metrics = lora_step(
+                    lora_params, lora_opt_state, params, batch
+                )
+            else:
+                params, opt_state, metrics = step_fn(params, opt_state, batch)
+            step += 1
+            if step % training_args.logging_steps == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                dt = time.time() - t_last
+                t_last = time.time()
+                logger.info(
+                    f"step {step}/{total_steps} loss={m['loss']:.4f} "
+                    f"acc={m['accuracy']:.3f} gnorm={m['grad_norm']:.2f} "
+                    f"({dt:.2f}s)"
+                )
+            if step % training_args.save_steps == 0:
+                _save(params, opt_state, step, cfg, training_args,
+                      model_args, lora_params, lora_cfg, tokenizer)
+
+    _save(params, opt_state, step, cfg, training_args, model_args,
+          lora_params, lora_cfg, tokenizer, final=True)
+    return params, cfg
+
+
+def _save(params, opt_state, step, cfg, training_args, model_args,
+          lora_params, lora_cfg, tokenizer, final: bool = False):
+    from llava_plus_tpu.train import checkpoint as ckpt_lib
+
+    out_dir = Path(training_args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if model_args.tune_mm_mlp_adapter:
+        # adapter-only save (ref llava_trainer.py:239-258)
+        ckpt_lib.export_mm_projector_bin(
+            params, out_dir / f"{ckpt_lib.CKPT_PREFIX}{step}" / "mm_projector.bin"
+        )
+        if final:
+            ckpt_lib.export_mm_projector_bin(params, out_dir / "mm_projector.bin")
+        return
+    if lora_params is not None:
+        from llava_plus_tpu.train.lora import save_peft_adapter
+
+        from llava_plus_tpu.train.checkpoint import (
+            projector_state_dict_from_params,
+        )
+
+        extra = projector_state_dict_from_params(params["mm_projector"])
+        save_peft_adapter(lora_params, lora_cfg, out_dir, extra)
+        cfg.save(out_dir / "config.json")
+        return
+    ckpt_lib.save_train_state(out_dir, step, params, opt_state, cfg)
+    if final:
+        ckpt_lib.export_hf_llava(params, cfg, out_dir / "hf_export", tokenizer)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    for dc in (ModelArguments, DataArguments, TrainingArguments):
+        for f in dataclasses.fields(dc):
+            arg = "--" + f.name.replace("_", "-")
+            if f.type == bool or isinstance(f.default, bool):
+                parser.add_argument(arg, type=lambda x: x.lower() == "true",
+                                    default=f.default)
+            else:
+                typ = str if f.default is None else type(f.default)
+                parser.add_argument(arg, type=typ, default=f.default)
+    args = parser.parse_args()
+
+    def pick(dc):
+        return dc(**{
+            f.name: getattr(args, f.name) for f in dataclasses.fields(dc)
+        })
+
+    train(pick(ModelArguments), pick(DataArguments), pick(TrainingArguments))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""End-to-end training driver test: tiny model, real dataset files on disk,
+checkpoint save + resume, stage-1 adapter-only save, LoRA path."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from llava_plus_tpu.train.train import (
+    DataArguments,
+    ModelArguments,
+    TrainingArguments,
+    train,
+)
+
+from .test_preprocess import SpLikeTokenizer
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(8):
+        if i % 2 == 0:
+            name = f"img{i}.png"
+            Image.fromarray(
+                rng.integers(0, 255, (40, 52, 3), dtype=np.uint8)
+            ).save(img_dir / name)
+            records.append({
+                "image": name,
+                "conversations": [
+                    {"from": "human", "value": f"<image>\nwhat is {i}"},
+                    {"from": "gpt", "value": f"it is thing {i}"},
+                ],
+            })
+        else:
+            records.append({
+                "conversations": [
+                    {"from": "human", "value": f"compute {i} plus {i}"},
+                    {"from": "gpt", "value": f"the answer is {2*i}"},
+                ],
+            })
+    data_path = tmp_path / "data.json"
+    data_path.write_text(json.dumps(records))
+    return data_path, img_dir
+
+
+def _args(corpus, tmp_path, **kw):
+    data_path, img_dir = corpus
+    model_args = ModelArguments(tiny_debug_model=True, version="v1")
+    data_args = DataArguments(
+        data_path=str(data_path), image_folder=str(img_dir),
+        image_aspect_ratio="pad",
+    )
+    training_args = TrainingArguments(
+        output_dir=str(tmp_path / "out"),
+        per_device_train_batch_size=4,
+        model_max_length=96,
+        max_steps=3,
+        save_steps=2,
+        bf16=False,
+        gradient_checkpointing=False,
+        dp=1, fsdp_axis=1, tp=1,
+        **kw,
+    )
+    return model_args, data_args, training_args
+
+
+def test_train_runs_and_checkpoints(corpus, tmp_path):
+    model_args, data_args, training_args = _args(corpus, tmp_path)
+    tok = SpLikeTokenizer()
+    tok.model_max_length = 96
+    params, cfg = train(model_args, data_args, training_args, tokenizer=tok)
+    out = tmp_path / "out"
+    cks = list(out.glob("checkpoint-*"))
+    assert cks, "no checkpoints written"
+    # HF export on final save
+    assert (out / "hf_export" / "model.safetensors").exists()
+    assert (out / "hf_export" / "config.json").exists()
+
+
+def test_train_resume(corpus, tmp_path):
+    model_args, data_args, training_args = _args(corpus, tmp_path)
+    tok = SpLikeTokenizer()
+    tok.model_max_length = 96
+    train(model_args, data_args, training_args, tokenizer=tok)
+    # resume: raise max_steps, training continues from step 3
+    training_args2 = dataclasses.replace(training_args, max_steps=4)
+    train(model_args, data_args, training_args2, tokenizer=tok)
+    out = tmp_path / "out"
+    steps = sorted(
+        int(p.name.split("-")[1]) for p in out.glob("checkpoint-*")
+    )
+    assert 4 in steps
+
+
+def test_stage1_adapter_only_save(corpus, tmp_path):
+    model_args, data_args, training_args = _args(corpus, tmp_path)
+    model_args = dataclasses.replace(model_args, tune_mm_mlp_adapter=True)
+    tok = SpLikeTokenizer()
+    tok.model_max_length = 96
+    train(model_args, data_args, training_args, tokenizer=tok)
+    assert (tmp_path / "out" / "mm_projector.bin").exists()
+
+
+def test_lora_training(corpus, tmp_path):
+    model_args, data_args, training_args = _args(
+        corpus, tmp_path, lora_enable=True, lora_r=4, lora_alpha=8,
+    )
+    training_args = dataclasses.replace(training_args, save_steps=100)
+    tok = SpLikeTokenizer()
+    tok.model_max_length = 96
+    train(model_args, data_args, training_args, tokenizer=tok)
+    out = tmp_path / "out"
+    assert (out / "adapter_model.safetensors").exists()
+    assert (out / "adapter_config.json").exists()
+    assert (out / "non_lora_trainables.bin").exists()
+
+
+def test_group_by_modality_sampler(corpus, tmp_path):
+    model_args, data_args, training_args = _args(
+        corpus, tmp_path, group_by_modality_length=True,
+    )
+    tok = SpLikeTokenizer()
+    tok.model_max_length = 96
+    train(model_args, data_args, training_args, tokenizer=tok)
