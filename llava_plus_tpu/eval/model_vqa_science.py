@@ -1,0 +1,87 @@
+"""ScienceQA runner (ref llava/eval/model_vqa_science.py): multiple-choice
+prompts with optional chain-of-thought, ``--single-pred-prompt`` appends the
+answer-letter instruction."""
+
+import argparse
+import json
+import os
+
+from PIL import Image
+
+from llava_plus_tpu.constants import DEFAULT_IMAGE_TOKEN
+from llava_plus_tpu.conversation import conv_templates
+from llava_plus_tpu.eval.common import EvalSession, get_chunk, short_uuid
+from llava_plus_tpu.mm_utils import get_model_name_from_path
+
+
+def eval_model(args, session=None):
+    questions = json.load(open(os.path.expanduser(args.question_file)))
+    questions = get_chunk(questions, args.num_chunks, args.chunk_idx)
+    answers_file = os.path.expanduser(args.answers_file)
+    os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
+
+    session = session or EvalSession(
+        args.model_path, args.model_base, conv_mode=args.conv_mode,
+        temperature=args.temperature, max_new_tokens=1024,
+    )
+    model_name = get_model_name_from_path(args.model_path or "model")
+    conv_t = conv_templates[args.conv_mode]
+    stop = conv_t.sep2 or conv_t.sep
+
+    with open(answers_file, "w") as f:
+        for i, line in enumerate(questions):
+            idx = line["id"]
+            question = line["conversations"][0]
+            qs = question["value"].replace("<image>", "").strip()
+            cur_prompt = qs
+
+            image = None
+            if "image" in line:
+                image = Image.open(
+                    os.path.join(args.image_folder, line["image"])
+                ).convert("RGB")
+                qs = DEFAULT_IMAGE_TOKEN + "\n" + qs
+                cur_prompt = "<image>" + "\n" + cur_prompt
+
+            if args.single_pred_prompt:
+                qs = qs + "\n" + ("Answer with the option's letter from the "
+                                  "given choices directly.")
+                cur_prompt = cur_prompt + "\n" + (
+                    "Answer with the option's letter from the given choices "
+                    "directly."
+                )
+
+            conv = conv_t.copy()
+            conv.append_message(conv.roles[0], qs)
+            conv.append_message(conv.roles[1], None)
+            prompt = conv.get_prompt()
+
+            outputs = session.answer(prompt, image, stop_strings=[stop])
+            f.write(json.dumps({
+                "question_id": idx,
+                "prompt": cur_prompt,
+                "text": outputs,
+                "answer_id": short_uuid(),
+                "model_id": model_name,
+                "metadata": {},
+            }) + "\n")
+            f.flush()
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", type=str, default=None)
+    parser.add_argument("--model-base", type=str, default=None)
+    parser.add_argument("--image-folder", type=str, default="")
+    parser.add_argument("--question-file", type=str, required=True)
+    parser.add_argument("--answers-file", type=str, required=True)
+    parser.add_argument("--conv-mode", type=str, default="llava_v1")
+    parser.add_argument("--num-chunks", type=int, default=1)
+    parser.add_argument("--chunk-idx", type=int, default=0)
+    parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--single-pred-prompt", action="store_true")
+    eval_model(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

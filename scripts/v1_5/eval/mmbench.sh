@@ -1,0 +1,18 @@
+#!/bin/bash
+# MMBench eval (ref scripts/v1_5/eval/mmbench.sh).
+
+SPLIT="mmbench_dev_20230712"
+
+python -m llava_plus_tpu.eval.model_vqa_mmbench \
+    --model-path ./checkpoints/llava-v1.5-7b \
+    --question-file ./playground/data/eval/mmbench/$SPLIT.tsv \
+    --answers-file ./playground/data/eval/mmbench/answers/$SPLIT/llava-v1.5-7b.jsonl \
+    --single-pred-prompt \
+    --temperature 0 \
+    --conv-mode llava_v1
+
+python scripts/convert_mmbench_for_submission.py \
+    --annotation-file ./playground/data/eval/mmbench/$SPLIT.tsv \
+    --result-dir ./playground/data/eval/mmbench/answers/$SPLIT \
+    --upload-dir ./playground/data/eval/mmbench/answers_upload/$SPLIT \
+    --experiment llava-v1.5-7b

@@ -1,0 +1,15 @@
+#!/bin/bash
+# POPE eval (ref scripts/v1_5/eval/pope.sh).
+
+python -m llava_plus_tpu.eval.model_vqa_loader \
+    --model-path ./checkpoints/llava-v1.5-7b \
+    --question-file ./playground/data/eval/pope/llava_pope_test.jsonl \
+    --image-folder ./playground/data/eval/pope/val2014 \
+    --answers-file ./playground/data/eval/pope/answers/llava-v1.5-7b.jsonl \
+    --temperature 0 \
+    --conv-mode llava_v1
+
+python -m llava_plus_tpu.eval.eval_pope \
+    --annotation-dir ./playground/data/eval/pope/coco \
+    --question-file ./playground/data/eval/pope/llava_pope_test.jsonl \
+    --result-file ./playground/data/eval/pope/answers/llava-v1.5-7b.jsonl

@@ -1,0 +1,17 @@
+#!/bin/bash
+# ScienceQA eval (ref scripts/v1_5/eval/sqa.sh).
+
+python -m llava_plus_tpu.eval.model_vqa_science \
+    --model-path ./checkpoints/llava-v1.5-7b \
+    --question-file ./playground/data/eval/scienceqa/llava_test_CQM-A.json \
+    --image-folder ./playground/data/eval/scienceqa/images/test \
+    --answers-file ./playground/data/eval/scienceqa/answers/llava-v1.5-7b.jsonl \
+    --single-pred-prompt \
+    --temperature 0 \
+    --conv-mode llava_v1
+
+python -m llava_plus_tpu.eval.eval_science_qa \
+    --base-dir ./playground/data/eval/scienceqa \
+    --result-file ./playground/data/eval/scienceqa/answers/llava-v1.5-7b.jsonl \
+    --output-file ./playground/data/eval/scienceqa/answers/llava-v1.5-7b_output.jsonl \
+    --output-result ./playground/data/eval/scienceqa/answers/llava-v1.5-7b_result.json

@@ -1,0 +1,14 @@
+#!/bin/bash
+# TextVQA eval (ref scripts/v1_5/eval/textvqa.sh).
+
+python -m llava_plus_tpu.eval.model_vqa_loader \
+    --model-path ./checkpoints/llava-v1.5-7b \
+    --question-file ./playground/data/eval/textvqa/llava_textvqa_val_v051_ocr.jsonl \
+    --image-folder ./playground/data/eval/textvqa/train_images \
+    --answers-file ./playground/data/eval/textvqa/answers/llava-v1.5-7b.jsonl \
+    --temperature 0 \
+    --conv-mode llava_v1
+
+python -m llava_plus_tpu.eval.eval_textvqa \
+    --annotation-file ./playground/data/eval/textvqa/TextVQA_0.5.1_val.json \
+    --result-file ./playground/data/eval/textvqa/answers/llava-v1.5-7b.jsonl

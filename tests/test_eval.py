@@ -1,0 +1,149 @@
+"""Eval harness tests: chunking, runner contract with a fake backend,
+POPE/TextVQA scorer behavior."""
+
+import json
+import types
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from llava_plus_tpu.eval.common import get_chunk, split_list
+from llava_plus_tpu.eval.eval_pope import eval_pope
+from llava_plus_tpu.eval.m4c_evaluator import (
+    EvalAIAnswerProcessor,
+    STVQAAccuracyEvaluator,
+    TextVQAAccuracyEvaluator,
+)
+
+
+def test_chunking():
+    lst = list(range(10))
+    chunks = split_list(lst, 3)
+    assert sum(chunks, []) == lst
+    assert get_chunk(lst, 3, 0) == [0, 1, 2, 3]
+    assert get_chunk(lst, 1, 0) == lst
+
+
+def test_evalai_processor_normalization():
+    p = EvalAIAnswerProcessor()
+    assert p("A Dog!") == "dog"
+    assert p("  two ") == "2"
+    assert p("isnt") == "isn't"
+    assert p("the answer") == "answer"
+    assert p("1,000") == "1000"
+
+
+def test_textvqa_soft_accuracy():
+    ev = TextVQAAccuracyEvaluator()
+    # 10 humans: 5 say "cat", 5 say "dog"
+    gt = ["cat"] * 5 + ["dog"] * 5
+    acc_cat = ev.eval_pred_list([{"pred_answer": "cat", "gt_answers": gt}])
+    # for answer "cat": each of 10 leave-one-out subsets has 4 or 5 matches
+    # -> min(1, m/3) = 1 everywhere
+    assert acc_cat == 1.0
+    gt2 = ["cat"] * 1 + ["dog"] * 9
+    acc = ev.eval_pred_list([{"pred_answer": "cat", "gt_answers": gt2}])
+    assert 0.0 < acc < 0.5
+    miss = ev.eval_pred_list([{"pred_answer": "fish", "gt_answers": gt2}])
+    assert miss == 0.0
+
+
+def test_stvqa_exact_match():
+    ev = STVQAAccuracyEvaluator()
+    acc = ev.eval_pred_list([
+        {"pred_answer": "A Dog", "gt_answers": ["dog", "puppy"]},
+        {"pred_answer": "cat", "gt_answers": ["dog"]},
+    ])
+    assert acc == 0.5
+
+
+def test_pope_scoring(tmp_path):
+    labels = [{"label": "yes"}, {"label": "no"}, {"label": "yes"},
+              {"label": "no"}]
+    label_file = tmp_path / "labels.jsonl"
+    label_file.write_text("\n".join(json.dumps(l) for l in labels))
+    answers = [
+        {"text": "Yes, it is."},
+        {"text": "No."},
+        {"text": "Yes there is a dog."},
+        {"text": "Yes."},  # wrong
+    ]
+    stats = eval_pope([dict(a) for a in answers], str(label_file))
+    assert stats["accuracy"] == 0.75
+    assert stats["recall"] == 1.0
+    assert stats["precision"] == pytest.approx(2 / 3)
+
+
+def test_model_vqa_loader_with_fake_backend(tmp_path):
+    from llava_plus_tpu.eval import model_vqa_loader
+    from llava_plus_tpu.eval.common import EvalSession
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    questions = []
+    for i in range(3):
+        Image.new("RGB", (32, 32), (i * 40, 0, 0)).save(img_dir / f"{i}.jpg")
+        questions.append({
+            "question_id": i, "image": f"{i}.jpg",
+            "text": f"What is in image {i}?",
+        })
+    qfile = tmp_path / "questions.jsonl"
+    qfile.write_text("\n".join(json.dumps(q) for q in questions))
+
+    class FakeBackend:
+        def answer(self, prompt, image):
+            assert "ASSISTANT:" in prompt
+            return "a red square"
+
+    session = EvalSession(None, backend=FakeBackend())
+    args = types.SimpleNamespace(
+        model_path="fake/llava-test", model_base=None,
+        image_folder=str(img_dir), question_file=str(qfile),
+        answers_file=str(tmp_path / "answers.jsonl"),
+        conv_mode="llava_v1", num_chunks=1, chunk_idx=0,
+        temperature=0.0, top_p=1.0, max_new_tokens=16,
+    )
+    model_vqa_loader.eval_model(args, session=session)
+    rows = [json.loads(l) for l in open(tmp_path / "answers.jsonl")]
+    assert len(rows) == 3
+    assert all(r["text"] == "a red square" for r in rows)
+    assert rows[0]["model_id"] == "llava-test"
+    assert {r["question_id"] for r in rows} == {0, 1, 2}
+
+
+def test_model_vqa_loader_chunked(tmp_path):
+    from llava_plus_tpu.eval import model_vqa_loader
+    from llava_plus_tpu.eval.common import EvalSession
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    questions = []
+    for i in range(5):
+        Image.new("RGB", (16, 16)).save(img_dir / f"{i}.jpg")
+        questions.append({
+            "question_id": i, "image": f"{i}.jpg", "text": "q",
+        })
+    qfile = tmp_path / "q.jsonl"
+    qfile.write_text("\n".join(json.dumps(q) for q in questions))
+
+    class FakeBackend:
+        def answer(self, prompt, image):
+            return "ans"
+
+    all_ids = set()
+    for k in range(2):
+        args = types.SimpleNamespace(
+            model_path="m", model_base=None, image_folder=str(img_dir),
+            question_file=str(qfile),
+            answers_file=str(tmp_path / f"a{k}.jsonl"),
+            conv_mode="llava_v1", num_chunks=2, chunk_idx=k,
+            temperature=0.0, top_p=1.0, max_new_tokens=4,
+        )
+        model_vqa_loader.eval_model(
+            args, session=EvalSession(None, backend=FakeBackend())
+        )
+        all_ids |= {
+            json.loads(l)["question_id"] for l in open(tmp_path / f"a{k}.jsonl")
+        }
+    assert all_ids == {0, 1, 2, 3, 4}
