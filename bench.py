@@ -22,7 +22,7 @@ import numpy as np
 
 A100_BASELINE_IPS = 40.0
 
-PREFILL_LEN = 704          # 576 image tokens + ~128 text tokens
+PREFILL_LEN = 768          # 576 image tokens + 192 text tokens (128-aligned)
 MAX_NEW_TOKENS = 128
 CACHE_LEN = 1024
 
@@ -36,7 +36,9 @@ def build(model_name: str):
         LLAVA_15_7B, LlavaConfig, tiny_llava_config,
     )
 
-    if model_name == "llava-1.5-7b":
+    if model_name == "llava-1.5-7b-int8":
+        cfg = LLAVA_15_7B
+    elif model_name == "llava-1.5-7b":
         cfg = LLAVA_15_7B
     elif model_name == "llava-1.5-7b-lite":
         import dataclasses
@@ -52,6 +54,10 @@ def build(model_name: str):
     params = llava_model.init_params(
         cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16
     )
+    if model_name.endswith("-int8"):
+        from llava_plus_tpu.ops.quant import quantize_llava_params
+
+        params = quantize_llava_params(params)
     return cfg, params
 
 
@@ -168,7 +174,8 @@ def main():
     # leak device buffers into the fallback.
     import subprocess
 
-    for model in ("llava-1.5-7b", "llava-1.5-7b-lite", "tiny"):
+    for model in ("llava-1.5-7b-int8", "llava-1.5-7b",
+                  "llava-1.5-7b-lite", "tiny"):
         proc = subprocess.run(
             [sys.executable, __file__, "--model", model],
             capture_output=True, text=True, timeout=3600,

@@ -51,6 +51,44 @@ def sample_token(
     return jnp.where(temperature <= 0.0, greedy, sampled)
 
 
+def prepare_multimodal_request(
+    cfg: LlavaConfig,
+    tokenizer,
+    prompts: Sequence[str],
+    images_per_prompt: Optional[Sequence[Optional[np.ndarray]]] = None,
+    *,
+    max_seq_len: int,
+    prefill_bucket: int = 128,
+    max_images: int = 1,
+):
+    """Tokenize prompts (with <image> sentinels) and build the fused batch."""
+    from llava_plus_tpu.mm_utils import tokenizer_image_token
+
+    ids_list = [
+        np.asarray(tokenizer_image_token(p, tokenizer), dtype=np.int64)
+        for p in prompts
+    ]
+    plan = plan_multimodal_batch(
+        ids_list,
+        num_patches=cfg.num_image_tokens,
+        max_len=max_seq_len,
+        max_images=max_images,
+        pad_to_multiple=prefill_bucket,
+    )
+    img_hw = (cfg.vision.image_size, cfg.vision.image_size, 3)
+    if images_per_prompt is None:
+        images_per_prompt = [None] * len(prompts)
+    imgs = pad_images(list(images_per_prompt), max_images, img_hw)
+    batch = MultimodalBatch(
+        tokens=jnp.asarray(plan.tokens),
+        positions=jnp.asarray(plan.positions),
+        segment_ids=jnp.asarray(plan.segment_ids),
+        images=jnp.asarray(imgs),
+        image_pos=jnp.asarray(plan.image_pos),
+    )
+    return batch, plan
+
+
 @dataclasses.dataclass
 class GenerationResult:
     text: str
@@ -129,33 +167,11 @@ class Generator:
         images_per_prompt: Optional[Sequence[Optional[np.ndarray]]] = None,
         max_images: int = 1,
     ):
-        """Tokenize prompts (with <image> sentinels) and build the fused batch."""
-        from llava_plus_tpu.mm_utils import tokenizer_image_token
-
-        ids_list = [
-            np.asarray(tokenizer_image_token(p, self.tokenizer), dtype=np.int64)
-            for p in prompts
-        ]
-        n_patch = self.cfg.num_image_tokens
-        plan = plan_multimodal_batch(
-            ids_list,
-            num_patches=n_patch,
-            max_len=self.max_seq_len,
+        return prepare_multimodal_request(
+            self.cfg, self.tokenizer, prompts, images_per_prompt,
+            max_seq_len=self.max_seq_len, prefill_bucket=self.prefill_bucket,
             max_images=max_images,
-            pad_to_multiple=self.prefill_bucket,
         )
-        img_hw = (self.cfg.vision.image_size, self.cfg.vision.image_size, 3)
-        if images_per_prompt is None:
-            images_per_prompt = [None] * len(prompts)
-        imgs = pad_images(list(images_per_prompt), max_images, img_hw)
-        batch = MultimodalBatch(
-            tokens=jnp.asarray(plan.tokens),
-            positions=jnp.asarray(plan.positions),
-            segment_ids=jnp.asarray(plan.segment_ids),
-            images=jnp.asarray(imgs),
-            image_pos=jnp.asarray(plan.image_pos),
-        )
-        return batch, plan
 
     def stream(
         self,

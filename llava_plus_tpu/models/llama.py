@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from llava_plus_tpu.models.configs import LlamaConfig
 from llava_plus_tpu.ops.attention import attention
+from llava_plus_tpu.ops.quant import matmul
 
 
 # ---------------------------------------------------------------------------
@@ -165,9 +166,9 @@ def _layer_forward(
     H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     hn = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
-    q = (hn @ lp["attn"]["wq"]).reshape(B, T, H, Dh)
-    k = (hn @ lp["attn"]["wk"]).reshape(B, T, Hkv, Dh)
-    v = (hn @ lp["attn"]["wv"]).reshape(B, T, Hkv, Dh)
+    q = matmul(hn, lp["attn"]["wq"]).reshape(B, T, H, Dh)
+    k = matmul(hn, lp["attn"]["wk"]).reshape(B, T, Hkv, Dh)
+    v = matmul(hn, lp["attn"]["wv"]).reshape(B, T, Hkv, Dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -201,12 +202,14 @@ def _layer_forward(
         )
         new_cache = None
 
-    h = h + attn_out.reshape(B, T, H * Dh) @ lp["attn"]["wo"]
+    h = h + matmul(attn_out.reshape(B, T, H * Dh), lp["attn"]["wo"])
 
     hn = rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
-    gate = jax.nn.silu((hn @ lp["mlp"]["w_gate"]).astype(jnp.float32)).astype(hn.dtype)
-    up = hn @ lp["mlp"]["w_up"]
-    h = h + (gate * up) @ lp["mlp"]["w_down"]
+    gate = jax.nn.silu(
+        matmul(hn, lp["mlp"]["w_gate"]).astype(jnp.float32)
+    ).astype(hn.dtype)
+    up = matmul(hn, lp["mlp"]["w_up"])
+    h = h + matmul(gate * up, lp["mlp"]["w_down"])
     return h, new_cache
 
 
@@ -269,9 +272,15 @@ def decoder_forward(
 def lm_head(params, cfg: LlamaConfig, hidden: jax.Array) -> jax.Array:
     """Project hidden states to fp32 logits."""
     if cfg.tie_word_embeddings:
-        w = params["embed_tokens"].T
-    else:
-        w = params["lm_head"]
+        return jnp.dot(
+            hidden, params["embed_tokens"].T,
+            preferred_element_type=jnp.float32,
+        )
+    from llava_plus_tpu.ops.quant import is_quantized
+
+    w = params["lm_head"]
+    if is_quantized(w):
+        return matmul(hidden, w).astype(jnp.float32)
     return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
 
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from llava_plus_tpu.models.configs import MptConfig
 from llava_plus_tpu.models.llama import KVCache  # same cache layout
 from llava_plus_tpu.ops.attention import attention
+from llava_plus_tpu.ops.quant import matmul
 
 
 def alibi_slopes(n_heads: int, alibi_bias_max: int = 8) -> jnp.ndarray:
@@ -104,7 +105,7 @@ def _layer_forward(
     kv_dim = Hkv * Dh
 
     hn = _layer_norm_nobias(h, lp["norm1"], cfg.layer_norm_eps)
-    qkv = hn @ lp["attn"]["wqkv"]
+    qkv = matmul(hn, lp["attn"]["wqkv"])
     if cfg.clip_qkv:
         qkv = jnp.clip(qkv, -cfg.clip_qkv, cfg.clip_qkv)
     q, k, v = jnp.split(qkv, [D, D + kv_dim], axis=-1)
@@ -145,11 +146,14 @@ def _layer_forward(
         )
         new_cache = None
 
-    h = h + attn_out.reshape(B, T, D) @ lp["attn"]["out_proj"]
+    h = h + matmul(attn_out.reshape(B, T, D), lp["attn"]["out_proj"])
 
     hn = _layer_norm_nobias(h, lp["norm2"], cfg.layer_norm_eps)
-    inner = jax.nn.gelu((hn @ lp["mlp"]["up_proj"]).astype(jnp.float32), approximate=False)
-    h = h + inner.astype(hn.dtype) @ lp["mlp"]["down_proj"]
+    inner = jax.nn.gelu(
+        matmul(hn, lp["mlp"]["up_proj"]).astype(jnp.float32),
+        approximate=False,
+    )
+    h = h + matmul(inner.astype(hn.dtype), lp["mlp"]["down_proj"])
     return h, new_cache
 
 

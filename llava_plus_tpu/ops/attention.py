@@ -148,8 +148,12 @@ def _can_use_pallas(q, k, bias, q_positions) -> bool:
     # sequence lengths, MXU-friendly head dim.
     if q_positions is not None:
         return False
+    if bias is not None:
+        return False  # ALiBi goes through alibi_nheads; arbitrary bias -> XLA
     if Tq != Tkv:
         return False
-    if D % 128 != 0 or Tq % 128 != 0:
+    if D % 128 != 0:
         return False
+    if Tq < 256:
+        return False  # too small to beat fused XLA attention
     return True

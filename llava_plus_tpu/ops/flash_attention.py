@@ -87,8 +87,8 @@ def _fwd_kernel(
         if causal:
             mask = k_pos <= q_pos
         if use_segments:
-            q_seg = q_seg_ref[0, pl.ds(q_start, block_q)]
-            k_seg = kv_seg_ref[0, pl.ds(k_start, block_k)]
+            q_seg = q_seg_ref[0, 0, pl.ds(q_start, block_q)]
+            k_seg = kv_seg_ref[0, 0, pl.ds(k_start, block_k)]
             seg_ok = (q_seg[:, None] == k_seg[None, :]) & (k_seg[None, :] != 0)
             mask = seg_ok if mask is None else (mask & seg_ok)
         if mask is not None:
@@ -141,10 +141,12 @@ def _fwd(
         return pl.BlockSpec((1, T), lambda b, qi, kj: (b, 0),
                             memory_space=pl.ANY)
 
+    # segment ids carry an explicit singleton sublane dim: [BH, 1, T] with
+    # block (1, 1, T) satisfies the (8, 128)-or-full tiling rule.
     in_specs = [
-        pl.BlockSpec((1, T), lambda b, qi, kj: (b, 0))
+        pl.BlockSpec((1, 1, T), lambda b, qi, kj: (b, 0, 0))
         if use_segments else pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec((1, T), lambda b, qi, kj: (b, 0))
+        pl.BlockSpec((1, 1, T), lambda b, qi, kj: (b, 0, 0))
         if use_segments else pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((1, slopes.shape[1]), lambda b, qi, kj: (0, 0))
         if use_alibi else pl.BlockSpec(memory_space=pl.ANY),
@@ -179,8 +181,8 @@ def _fwd(
             transcendentals=BH * T * T,
         ),
     )(
-        q_seg if use_segments else dummy,
-        kv_seg if use_segments else dummy,
+        q_seg[:, None, :] if use_segments else dummy,
+        kv_seg[:, None, :] if use_segments else dummy,
         slopes if use_alibi else dummy,
         q, k, v,
     )
@@ -235,15 +237,36 @@ def _flash_fwd_rule(q, k, v, q_segment_ids, kv_segment_ids,
         from llava_plus_tpu.models.mpt import alibi_slopes
 
         slopes = alibi_slopes(alibi_nheads)[None, :]
+
+    # Pad T up to a block multiple; padded rows get segment id 0 so they are
+    # masked out, and the output is sliced back.
+    Tp = ((T + 127) // 128) * 128
+    pad = Tp - T
+    if pad:
+        if q_segment_ids is None:
+            q_segment_ids = jnp.ones((B, T), jnp.int32)
+            kv_segment_ids = jnp.ones((B, T), jnp.int32)
+        zpad3 = [(0, 0), (0, pad), (0, 0), (0, 0)]
+        q = jnp.pad(q, zpad3)
+        k = jnp.pad(k, zpad3)
+        v = jnp.pad(v, zpad3)
+        q_segment_ids = jnp.pad(q_segment_ids, [(0, 0), (0, pad)])
+        kv_segment_ids = jnp.pad(kv_segment_ids, [(0, 0), (0, pad)])
+
     qt, kt, vt, qs, ks = _prep(q, k, v, q_segment_ids, kv_segment_ids)
-    bq = _pick_block(T, block_q)
-    bk = _pick_block(T, block_k)
+    bq = _pick_block(Tp, block_q)
+    bk = _pick_block(Tp, block_k)
     out = _fwd(
         qt, kt, vt, qs, ks, slopes,
         causal=causal, sm_scale=sm_scale, block_q=bq, block_k=bk,
         interpret=_interpret_default(),
     )
-    out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+    out = out.reshape(B, H, Tp, D).transpose(0, 2, 1, 3)
+    if pad:
+        out = out[:, :T]
+        q, k, v = q[:, :T], k[:, :T], v[:, :T]
+        q_segment_ids = q_segment_ids[:, :T]
+        kv_segment_ids = kv_segment_ids[:, :T]
     return out, (q, k, v, q_segment_ids, kv_segment_ids, out)
 
 

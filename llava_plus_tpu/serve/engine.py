@@ -1,0 +1,316 @@
+"""Continuous-batching inference engine.
+
+The reference serves one generation per Python thread through HF
+``generate()`` (``llava/serve/model_worker.py:174-185``) — concurrency is a
+semaphore, not batching. Here a single engine thread drives one compiled
+decode step over a fixed pool of B slots; requests join (prefill into a free
+slot) and leave (eos/stop/budget) between steps, so the bandwidth-bound
+decode cost is shared by every active request.
+
+Shapes are fixed (B slots x cache_len) -> exactly two compiled programs:
+bucketed prefill (batch 1) and the batched decode step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import queue
+import threading
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llava_plus_tpu.generate import sample_token
+from llava_plus_tpu.models import llama, llava as llava_model, mpt
+from llava_plus_tpu.models.configs import LlavaConfig
+from llava_plus_tpu.models.llava import MultimodalBatch
+from llava_plus_tpu.utils.logging import build_logger
+
+logger = build_logger("engine", "engine.log")
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: str
+    images: Optional[np.ndarray] = None
+    max_new_tokens: int = 256
+    temperature: float = 0.0
+    top_p: float = 1.0
+    stop_strings: Sequence[str] = ()
+    seed: int = 0
+
+    # filled by the engine
+    _chunks: "queue.Queue" = dataclasses.field(
+        default_factory=queue.Queue, repr=False
+    )
+    _done: threading.Event = dataclasses.field(
+        default_factory=threading.Event, repr=False
+    )
+
+
+@dataclasses.dataclass
+class _Slot:
+    request: Optional[Request] = None
+    out_ids: List[int] = dataclasses.field(default_factory=list)
+    pos: int = 0
+    budget: int = 0
+    key: Optional[jax.Array] = None
+
+
+class BatchedEngine:
+    def __init__(
+        self,
+        params,
+        cfg: LlavaConfig,
+        tokenizer,
+        *,
+        max_slots: int = 8,
+        max_seq_len: int = 2048,
+        prefill_bucket: int = 256,
+        cache_dtype=jnp.bfloat16,
+        idle_sleep: float = 0.002,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.max_slots = max_slots
+        self.max_seq_len = max_seq_len
+        self.prefill_bucket = prefill_bucket
+        self.cache_dtype = cache_dtype
+        self.idle_sleep = idle_sleep
+
+        self._queue: "queue.Queue[Request]" = queue.Queue()
+        self._slots = [_Slot() for _ in range(max_slots)]
+        self._stop = threading.Event()
+
+        self._build_programs()
+
+        self.cache = self._make_cache()
+        self.tokens = jnp.zeros((max_slots, 1), jnp.int32)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+
+    def _make_cache(self):
+        if self.cfg.language_model_type == "mpt":
+            return mpt.create_cache(
+                self.cfg.mpt, self.max_slots, self.max_seq_len, self.cache_dtype
+            )
+        return llama.KVCache.create(
+            self.cfg.text, self.max_slots, self.max_seq_len, self.cache_dtype
+        )
+
+    def _build_programs(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def prefill(params, batch: MultimodalBatch, cache1):
+            logits, cache1 = llava_model.forward(
+                params, cfg, batch, cache=cache1
+            )
+            last = jnp.maximum(jnp.sum(batch.segment_ids, axis=1) - 1, 0)
+            last_logits = jnp.take_along_axis(
+                logits, last[:, None, None], axis=1
+            )[:, 0]
+            return last_logits, cache1
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def insert(cache, cache1, slot, first_token, tokens):
+            # copy the single-request cache into slot `slot` of the pool
+            cache = llama.KVCache(
+                k=jax.lax.dynamic_update_index_in_dim(
+                    cache.k, cache1.k[:, 0], slot, axis=1
+                ),
+                v=jax.lax.dynamic_update_index_in_dim(
+                    cache.v, cache1.v[:, 0], slot, axis=1
+                ),
+                seg=jax.lax.dynamic_update_index_in_dim(
+                    cache.seg, cache1.seg[0], slot, axis=0
+                ),
+            )
+            tokens = jax.lax.dynamic_update_index_in_dim(
+                tokens, first_token, slot, axis=0
+            )
+            return cache, tokens
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def decode(params, cache, tokens, positions, active, keys,
+                   temperature, top_p):
+            seg = active[:, None].astype(jnp.int32)
+            logits, cache = llava_model.decode_step(
+                params, cfg, tokens, positions[:, None], seg, cache
+            )
+            nxt = _sample_batch(logits[:, 0], keys, temperature, top_p)
+            nxt = jnp.where(active, nxt, 0)
+            return nxt[:, None], cache
+
+        def _sample_batch(logits, keys, temperature, top_p):
+            greedy = jnp.argmax(logits, axis=-1)
+            scaled = logits / jnp.maximum(temperature[:, None], 1e-6)
+            sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = (cum - probs) < top_p[:, None]
+            cutoff = jnp.max(
+                jnp.where(keep, sorted_logits, -jnp.inf), axis=-1, keepdims=True
+            )
+            filtered = jnp.where(scaled >= cutoff, scaled, -jnp.inf)
+            sampled = jax.vmap(
+                lambda k, l: jax.random.categorical(k, l)
+            )(keys, filtered)
+            return jnp.where(temperature <= 0.0, greedy, sampled)
+
+        self._prefill = prefill
+        self._insert = insert
+        self._decode = decode
+
+    # -- public API ----------------------------------------------------
+
+    def submit(self, request: Request) -> Request:
+        self._queue.put(request)
+        return request
+
+    def stream(self, request: Request):
+        """Yield cumulative text for a submitted request."""
+        self.submit(request)
+        while True:
+            try:
+                item = request._chunks.get(timeout=600)
+            except queue.Empty:
+                return
+            if item is None:
+                return
+            yield item
+
+    def generate(self, request: Request) -> str:
+        text = ""
+        for text in self.stream(request):
+            pass
+        return text
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    @property
+    def num_active(self) -> int:
+        return sum(1 for s in self._slots if s.request is not None)
+
+    # -- engine loop ----------------------------------------------------
+
+    def _admit(self):
+        free = [i for i, s in enumerate(self._slots) if s.request is None]
+        while free and not self._queue.empty():
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            slot_id = free.pop(0)
+            try:
+                self._prefill_into(slot_id, req)
+            except Exception as e:
+                logger.error(f"prefill failed: {e}")
+                req._chunks.put(None)
+
+    def _prefill_into(self, slot_id: int, req: Request):
+        from llava_plus_tpu.generate import prepare_multimodal_request
+
+        batch, plan = prepare_multimodal_request(
+            self.cfg, self.tokenizer, [req.prompt],
+            [req.images] if req.images is not None else None,
+            max_seq_len=self.max_seq_len, prefill_bucket=self.prefill_bucket,
+        )
+        prompt_len = int(plan.lengths[0])
+
+        cache1 = (
+            llama.KVCache.create(
+                self.cfg.text, 1, self.max_seq_len, self.cache_dtype
+            )
+            if self.cfg.language_model_type == "llama"
+            else mpt.create_cache(
+                self.cfg.mpt, 1, self.max_seq_len, self.cache_dtype
+            )
+        )
+        last_logits, cache1 = self._prefill(self.params, batch, cache1)
+        key = jax.random.PRNGKey(req.seed)
+        key, sub = jax.random.split(key)
+        first = sample_token(
+            last_logits, sub,
+            jnp.float32(req.temperature), jnp.float32(req.top_p),
+        )[0]
+        self.cache, self.tokens = self._insert(
+            self.cache, cache1, slot_id, first[None], self.tokens
+        )
+        slot = self._slots[slot_id]
+        slot.request = req
+        slot.out_ids = []
+        slot.pos = prompt_len
+        slot.budget = min(req.max_new_tokens, self.max_seq_len - prompt_len - 1)
+        slot.key = key
+
+    def _loop(self):
+        while not self._stop.is_set():
+            self._admit()
+            active_idx = [
+                i for i, s in enumerate(self._slots) if s.request is not None
+            ]
+            if not active_idx:
+                time.sleep(self.idle_sleep)
+                continue
+
+            # host-side bookkeeping of the *current* token before stepping
+            tokens_host = np.asarray(jax.device_get(self.tokens))[:, 0]
+            eos = self.tokenizer.eos_token_id
+            for i in active_idx:
+                slot = self._slots[i]
+                tid = int(tokens_host[i])
+                req = slot.request
+                finished = False
+                if tid == eos or slot.budget <= 0:
+                    finished = True
+                else:
+                    slot.out_ids.append(tid)
+                    slot.budget -= 1
+                    text = self.tokenizer.decode(
+                        slot.out_ids, skip_special_tokens=True
+                    )
+                    for stop_s in req.stop_strings:
+                        if stop_s and stop_s in text:
+                            text = text.split(stop_s)[0]
+                            finished = True
+                    req._chunks.put(text)
+                if finished:
+                    req._chunks.put(None)
+                    req._done.set()
+                    slot.request = None
+
+            active = np.zeros((self.max_slots,), bool)
+            temps = np.zeros((self.max_slots,), np.float32)
+            tops = np.ones((self.max_slots,), np.float32)
+            positions = np.zeros((self.max_slots,), np.int32)
+            keys = []
+            for i, slot in enumerate(self._slots):
+                if slot.request is not None:
+                    active[i] = True
+                    temps[i] = slot.request.temperature
+                    tops[i] = slot.request.top_p
+                    positions[i] = slot.pos
+                    slot.key, sub = jax.random.split(slot.key)
+                    keys.append(sub)
+                    slot.pos += 1
+                else:
+                    positions[i] = self.max_seq_len  # drop slot
+                    keys.append(jax.random.PRNGKey(0))
+            if not active.any():
+                continue
+
+            self.tokens, self.cache = self._decode(
+                self.params, self.cache, self.tokens,
+                jnp.asarray(positions), jnp.asarray(active),
+                jnp.stack(keys), jnp.asarray(temps), jnp.asarray(tops),
+            )

@@ -64,19 +64,39 @@ class EchoBackend:
 
 
 class JaxBackend:
-    """Real backend: jitted prefill/decode over a loaded checkpoint."""
+    """Real backend: jitted prefill/decode over a loaded checkpoint.
+
+    ``use_engine=True`` (default) serves through the continuous-batching
+    engine so concurrent requests share decode steps; ``quantize="int8"``
+    enables weight-only int8 (the TPU analogue of --load-8bit)."""
 
     def __init__(self, model_path: str, model_base: Optional[str],
-                 model_name: Optional[str], *, load_dtype: str = "bfloat16"):
+                 model_name: Optional[str], *, load_dtype: str = "bfloat16",
+                 use_engine: bool = True, max_slots: int = 8,
+                 quantize: Optional[str] = None):
         from llava_plus_tpu.models.builder import load_pretrained_model
 
         (self.tokenizer, params, self.cfg, self.image_processor,
          self.context_len) = load_pretrained_model(
             model_path, model_base, model_name, dtype=load_dtype
         )
+        if quantize == "int8":
+            from llava_plus_tpu.ops.quant import quantize_llava_params
+
+            params = quantize_llava_params(
+                params, self.cfg.language_model_type
+            )
         from llava_plus_tpu.generate import Generator
 
-        self.generator = Generator(
+        self.engine = None
+        if use_engine:
+            from llava_plus_tpu.serve.engine import BatchedEngine
+
+            self.engine = BatchedEngine(
+                params, self.cfg, self.tokenizer,
+                max_slots=max_slots, max_seq_len=self.context_len,
+            )
+        self.generator = None if use_engine else Generator(
             params, self.cfg, self.tokenizer, self.image_processor,
             max_seq_len=self.context_len,
         )
@@ -120,7 +140,7 @@ class JaxBackend:
         if temperature <= 0.001:
             temperature = 0.0
 
-        prompt_tokens = len(self.generator.tokenizer(prompt).input_ids)
+        prompt_tokens = len(self.tokenizer(prompt).input_ids)
         max_new_tokens = min(
             max_new_tokens,
             self.context_len - prompt_tokens - num_image_tokens,
@@ -132,14 +152,21 @@ class JaxBackend:
             )
             return
 
-        for text in self.generator.stream(
-            prompt,
-            images=image_arrays,
-            max_new_tokens=max_new_tokens,
-            temperature=temperature,
-            top_p=top_p,
-            stop_strings=[stop_str] if stop_str else [],
-        ):
+        if self.engine is not None:
+            from llava_plus_tpu.serve.engine import Request
+
+            stream = self.engine.stream(Request(
+                prompt=prompt, images=image_arrays,
+                max_new_tokens=max_new_tokens, temperature=temperature,
+                top_p=top_p, stop_strings=[stop_str] if stop_str else [],
+            ))
+        else:
+            stream = self.generator.stream(
+                prompt, images=image_arrays,
+                max_new_tokens=max_new_tokens, temperature=temperature,
+                top_p=top_p, stop_strings=[stop_str] if stop_str else [],
+            )
+        for text in stream:
             yield ori_prompt + text
 
 
@@ -317,6 +344,12 @@ def main():
     parser.add_argument("--no-register", action="store_true")
     parser.add_argument("--echo", action="store_true",
                         help="protocol-test echo backend (no model)")
+    parser.add_argument("--load-8bit", action="store_true",
+                        help="weight-only int8 serving (TPU analogue of bnb)")
+    parser.add_argument("--max-slots", type=int, default=8,
+                        help="continuous-batching slot count")
+    parser.add_argument("--no-engine", action="store_true",
+                        help="disable continuous batching (single-stream)")
     args = parser.parse_args()
     logger.info(f"args: {args}")
 
@@ -327,7 +360,11 @@ def main():
         from llava_plus_tpu.mm_utils import get_model_name_from_path
 
         name = args.model_name or get_model_name_from_path(args.model_path)
-        backend = JaxBackend(args.model_path, args.model_base, name)
+        backend = JaxBackend(
+            args.model_path, args.model_base, name,
+            use_engine=not args.no_engine, max_slots=args.max_slots,
+            quantize="int8" if args.load_8bit else None,
+        )
         model_names = [name]
 
     worker = ModelWorker(

@@ -1,0 +1,100 @@
+"""Continuous-batching engine tests: correctness vs the single-stream
+generator, concurrent requests sharing decode steps, slot reuse."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llava_plus_tpu.generate import Generator
+from llava_plus_tpu.models import llava as llava_model
+from llava_plus_tpu.models.configs import tiny_llava_config
+from llava_plus_tpu.serve.engine import BatchedEngine, Request
+
+from .test_generate import CharTokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_llava_config()
+    params = llava_model.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tok = CharTokenizer()
+    engine = BatchedEngine(
+        params, cfg, tok, max_slots=4, max_seq_len=96,
+        prefill_bucket=32, cache_dtype=jnp.float32,
+    )
+    gen = Generator(
+        params, cfg, tok, max_seq_len=96, prefill_bucket=32,
+        cache_dtype=jnp.float32, attn_impl="xla",
+    )
+    yield engine, gen
+    engine.stop()
+
+
+def test_engine_matches_single_stream_greedy(setup):
+    engine, gen = setup
+    for prompt in ["hello", "xyz", "abab"]:
+        ref = gen.generate(prompt, max_new_tokens=6, temperature=0.0).text
+        got = engine.generate(
+            Request(prompt=prompt, max_new_tokens=6, temperature=0.0)
+        )
+        assert got == ref, (prompt, got, ref)
+
+
+def test_engine_concurrent_requests(setup):
+    engine, gen = setup
+    prompts = ["aa", "bb", "cc", "dd", "ee", "ff"]  # > max_slots
+    refs = {
+        p: gen.generate(p, max_new_tokens=5, temperature=0.0).text
+        for p in prompts
+    }
+    results = {}
+    threads = []
+
+    def run(p):
+        results[p] = engine.generate(
+            Request(prompt=p, max_new_tokens=5, temperature=0.0)
+        )
+
+    for p in prompts:
+        t = threading.Thread(target=run, args=(p,))
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join(timeout=120)
+    assert results == refs
+
+
+def test_engine_streaming_cumulative(setup):
+    engine, _ = setup
+    chunks = list(engine.stream(
+        Request(prompt="stream me", max_new_tokens=5, temperature=0.0)
+    ))
+    assert chunks
+    for a, b in zip(chunks, chunks[1:]):
+        assert len(b) >= len(a)
+
+
+def test_engine_stop_string(setup):
+    engine, gen = setup
+    full = gen.generate("qq", max_new_tokens=4, temperature=0.0).text
+    if len(full) < 2:
+        pytest.skip("generation too short to test stop strings")
+    stop = full[1]
+    got = engine.generate(Request(
+        prompt="qq", max_new_tokens=4, temperature=0.0, stop_strings=[stop],
+    ))
+    assert stop not in got
+
+
+def test_engine_multimodal_request(setup):
+    engine, gen = setup
+    img = np.zeros((1, 28, 28, 3), np.float32)
+    ref = gen.generate("<image>\nwhat?", images=img, max_new_tokens=4).text
+    got = engine.generate(Request(
+        prompt="<image>\nwhat?", images=img, max_new_tokens=4,
+    ))
+    assert got == ref

@@ -1,0 +1,77 @@
+"""Weight-only int8 quantization tests: round-trip error and model quality."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from llava_plus_tpu.models import llama
+from llava_plus_tpu.models.configs import LlamaConfig
+from llava_plus_tpu.ops.quant import (
+    dequantize_array,
+    matmul,
+    quantize_array,
+    quantize_lm_params,
+)
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+    qw = quantize_array(w)
+    assert qw["qvalue"].dtype == jnp.int8
+    deq = dequantize_array(qw, jnp.float32)
+    rel = float(jnp.abs(deq - w).max() / jnp.abs(w).max())
+    assert rel < 0.01  # per-channel int8: <1% of max magnitude
+
+
+def test_quantized_matmul_close():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+    ref = x @ w
+    got = matmul(x, quantize_array(w))
+    err = float(jnp.abs(got - ref).max() / jnp.abs(ref).max())
+    assert err < 0.02
+
+
+def test_stacked_quantization_under_scan():
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = dict(params)
+    qparams_lm = quantize_lm_params(params)
+    ids = jnp.asarray(np.arange(10)[None] % 128)
+    ref, _ = llama.forward(params, cfg, ids, attn_impl="xla")
+    got, _ = llama.forward(qparams_lm, cfg, ids, attn_impl="xla")
+    # logits track closely; compare top-1 predictions and value error
+    assert (jnp.argmax(ref, -1) == jnp.argmax(got, -1)).mean() > 0.8
+    err = float(jnp.abs(got - ref).max())
+    assert err < 1.0  # random init; just sanity that scale is right
+
+
+def test_quantized_decode_consistency():
+    """Quantized prefill + decode stays self-consistent through the cache."""
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    qp = quantize_lm_params(params)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, 128, size=(1, 6)))
+    full, _ = llama.forward(qp, cfg, ids, attn_impl="xla")
+    cache = llama.KVCache.create(cfg, 1, 8, jnp.float32)
+    logits, cache = llama.forward(
+        qp, cfg, ids,
+        positions=jnp.arange(6, dtype=jnp.int32)[None],
+        segment_ids=jnp.ones((1, 6), jnp.int32),
+        cache=cache, attn_impl="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full), atol=1e-4, rtol=1e-3
+    )
