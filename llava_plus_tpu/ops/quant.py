@@ -26,8 +26,13 @@ def is_quantized(w: Any) -> bool:
     return isinstance(w, dict) and QKEY in w
 
 
+@jax.jit
 def quantize_array(w: jax.Array) -> Dict[str, jax.Array]:
-    """Symmetric per-output-channel (last dim) int8."""
+    """Symmetric per-output-channel (last dim) int8.
+
+    Jitted so the fp32 intermediates fuse away — eager quantization of a
+    stacked 7B tensor would materialize a ~6 GB fp32 copy.
+    """
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
@@ -84,26 +89,36 @@ def _set(tree, path, value):
     node[path[-1]] = value
 
 
-def quantize_lm_params(lm_params, paths: Sequence = LLAMA_QUANT_PATHS):
-    """Return a copy of the language-model tree with the listed matrices
-    replaced by int8 dicts. Norms/embeddings stay bf16."""
-    def copy_dicts(t):
-        if isinstance(t, dict):
-            return {k: copy_dicts(v) for k, v in t.items()}
-        return t
+def quantize_lm_params(lm_params, paths: Sequence = LLAMA_QUANT_PATHS,
+                       in_place: bool = True):
+    """Replace the listed matrices with int8 dicts. Norms/embeddings stay
+    bf16.
 
-    out = copy_dicts(lm_params)
+    ``in_place=True`` (default) mutates the tree and frees each bf16 tensor
+    as soon as its int8 replacement exists — without this, a 7B model needs
+    ~20 GB transient HBM (bf16 + int8 copies) and OOMs a 16 GB chip.
+    """
+    if not in_place:
+        def copy_dicts(t):
+            if isinstance(t, dict):
+                return {k: copy_dicts(v) for k, v in t.items()}
+            return t
+
+        lm_params = copy_dicts(lm_params)
     for path in paths:
-        w = _get(out, path)
+        w = _get(lm_params, path)
         if w is None:
             continue
-        _set(out, path, quantize_array(w))
-    return out
+        q = quantize_array(w)
+        _set(lm_params, path, q)
+        del w
+        # block so the freed buffer is actually released before the next one
+        jax.block_until_ready(q[QKEY])
+    return lm_params
 
 
-def quantize_llava_params(params, model_type: str = "llama"):
+def quantize_llava_params(params, model_type: str = "llama",
+                          in_place: bool = True):
     paths = MPT_QUANT_PATHS if model_type == "mpt" else LLAMA_QUANT_PATHS
-    return dict(
-        params,
-        language_model=quantize_lm_params(params["language_model"], paths),
-    )
+    lm = quantize_lm_params(params["language_model"], paths, in_place=in_place)
+    return dict(params, language_model=lm)

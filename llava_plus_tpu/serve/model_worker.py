@@ -195,6 +195,7 @@ class ModelWorker:
         self.limit_model_concurrency = limit_model_concurrency
         self.semaphore: Optional[asyncio.Semaphore] = None
         self.global_counter = 0
+        self.metrics: dict = {}
         self._stop = threading.Event()
         if not no_register:
             self.register_to_controller()
@@ -265,13 +266,34 @@ class ModelWorker:
     def stop(self):
         self._stop.set()
 
+    # -- observability ------------------------------------------------------
+    # (the reference has none beyond heartbeat logs — SURVEY.md §5)
+
+    def get_metrics(self) -> dict:
+        m = dict(self.metrics)
+        n = max(m.pop("_requests", 0), 1)
+        m["requests"] = self.metrics.get("_requests", 0)
+        m["mean_ttft_s"] = m.pop("_ttft_sum", 0.0) / n
+        total_decode = m.pop("_decode_time_sum", 0.0)
+        m["decode_tok_s"] = (
+            m.get("_tokens_sum", 0) / total_decode if total_decode else 0.0
+        )
+        m["total_tokens"] = m.pop("_tokens_sum", 0)
+        return m
+
     # -- data plane ---------------------------------------------------------
 
     def generate_stream_gate(self, params: dict) -> Iterator[bytes]:
         """Error-gated stream: text chunks -> wire chunks
-        (ref model_worker.py:194-218)."""
+        (ref model_worker.py:194-218), with TTFT/decode-rate accounting."""
+        t0 = time.perf_counter()
+        first_t = None
+        n_chunks = 0
         try:
             for text in self.backend.generate_stream(params):
+                if first_t is None:
+                    first_t = time.perf_counter()
+                n_chunks += 1
                 yield encode_chunk({"text": text, "error_code": 0})
         except ValueError as e:
             logger.error(f"Caught ValueError: {e}")
@@ -283,6 +305,19 @@ class ModelWorker:
             yield encode_chunk({
                 "text": f"{server_error_msg}\n\n({e})", "error_code": 1,
             })
+        finally:
+            end = time.perf_counter()
+            self.metrics["_requests"] = self.metrics.get("_requests", 0) + 1
+            if first_t is not None:
+                self.metrics["_ttft_sum"] = (
+                    self.metrics.get("_ttft_sum", 0.0) + (first_t - t0)
+                )
+                self.metrics["_decode_time_sum"] = (
+                    self.metrics.get("_decode_time_sum", 0.0) + (end - first_t)
+                )
+                self.metrics["_tokens_sum"] = (
+                    self.metrics.get("_tokens_sum", 0) + n_chunks
+                )
 
 
 # ---------------------------------------------------------------------------
@@ -322,7 +357,28 @@ def build_app(worker: ModelWorker):
     async def worker_get_status(request):
         return web.json_response(worker.get_status())
 
-    app = web.Application()
+    @routes.post("/worker_metrics")
+    async def worker_metrics(request):
+        return web.json_response(worker.get_metrics())
+
+    @routes.post("/worker_profile_start")
+    async def worker_profile_start(request):
+        """Capture a jax.profiler trace (view with TensorBoard/XProf)."""
+        data = await request.json()
+        log_dir = data.get("log_dir", "/tmp/llava_tpu_profile")
+        import jax
+
+        jax.profiler.start_trace(log_dir)
+        return web.json_response({"log_dir": log_dir})
+
+    @routes.post("/worker_profile_stop")
+    async def worker_profile_stop(request):
+        import jax
+
+        jax.profiler.stop_trace()
+        return web.json_response({})
+
+    app = web.Application(client_max_size=64 * 1024 * 1024)
     app.add_routes(routes)
     return app
 

@@ -75,3 +75,20 @@ def test_quantized_decode_consistency():
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(full), atol=1e-4, rtol=1e-3
     )
+
+
+def test_resize_token_embeddings_mean_init():
+    from llava_plus_tpu.models.utils import resize_token_embeddings
+
+    cfg = LlamaConfig(
+        vocab_size=100, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    grown = resize_token_embeddings(params, 103, pad_to_multiple=64)
+    assert grown["embed_tokens"].shape[0] == 128
+    assert grown["lm_head"].shape[1] == 128
+    mean = np.asarray(params["embed_tokens"]).mean(0)
+    np.testing.assert_allclose(
+        np.asarray(grown["embed_tokens"][100]), mean, atol=1e-6
+    )

@@ -176,3 +176,16 @@ def test_dispatch_lottery_weighted():
     picks = {c.get_worker_address("m") for _ in range(20)}
     assert picks == {"http://b"}
     assert c.get_worker_address("nope") == ""
+
+
+def test_worker_metrics_endpoint(topology):
+    requests.post(
+        f"http://127.0.0.1:{WORKER_PORT}/worker_generate_stream",
+        json={"prompt": "metrics test"}, stream=True, timeout=10,
+    ).content  # drain
+    r = requests.post(
+        f"http://127.0.0.1:{WORKER_PORT}/worker_metrics", timeout=5
+    )
+    m = r.json()
+    assert m["requests"] >= 1
+    assert m["mean_ttft_s"] >= 0.0
