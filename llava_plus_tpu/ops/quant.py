@@ -19,11 +19,17 @@ import jax
 import jax.numpy as jnp
 
 QKEY = "qvalue"
+Q4KEY = "qvalue4"
 SKEY = "scale"
+
+# Block length (along the input/contraction dim) for int4 quantization.
+# 32 matches the QLoRA/NF4 granularity the reference reaches through
+# bitsandbytes ``load_in_4bit`` (``llava/model/builder.py:32-41``).
+INT4_BLOCK = 32
 
 
 def is_quantized(w: Any) -> bool:
-    return isinstance(w, dict) and QKEY in w
+    return isinstance(w, dict) and (QKEY in w or Q4KEY in w)
 
 
 @jax.jit
@@ -40,15 +46,53 @@ def quantize_array(w: jax.Array) -> Dict[str, jax.Array]:
     return {QKEY: q, SKEY: scale.astype(jnp.float32)}
 
 
+@jax.jit
+def quantize_array_int4(w: jax.Array) -> Dict[str, jax.Array]:
+    """Symmetric blockwise int4 (block=INT4_BLOCK along the contraction dim).
+
+    The TPU-native analogue of the reference's bitsandbytes 4-bit load
+    (``builder.py:32-41``): ~4.5 bits/weight resident in HBM (two nibbles
+    packed per int8 + one f32 scale per 32-block), streamed and dequantized
+    inside the matmul. Packed int8 is used rather than the jnp.int4 dtype —
+    int4 jit arguments trip relayout bugs on the CPU backend. Stored as
+    ``{"qvalue4": int8 [..., in/B, B/2, out], "scale":
+    f32 [..., in/B, 1, out]}``; the input dim must divide INT4_BLOCK (true
+    for every transformer matrix we quantize).
+    """
+    *lead, d_in, d_out = w.shape
+    assert d_in % INT4_BLOCK == 0, (d_in, INT4_BLOCK)
+    wf = w.astype(jnp.float32).reshape(*lead, d_in // INT4_BLOCK, INT4_BLOCK, d_out)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    lo = q[..., 0::2, :] & 0x0F
+    hi = (q[..., 1::2, :] & 0x0F) << 4
+    return {Q4KEY: (lo | hi).astype(jnp.int8), SKEY: scale.astype(jnp.float32)}
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    """int8 [..., nb, B/2, out] -> int8 [..., nb, B, out] (sign-extended)."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    *lead, nb, half, d_out = packed.shape
+    return jnp.stack([lo, hi], axis=-2).reshape(*lead, nb, half * 2, d_out)
+
+
 def dequantize_array(qw: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
+    if Q4KEY in qw:
+        wf = _unpack_int4(qw[Q4KEY]).astype(jnp.float32) * qw[SKEY]
+        *lead, nb, b, d_out = wf.shape
+        return wf.reshape(*lead, nb * b, d_out).astype(dtype)
     return (qw[QKEY].astype(jnp.float32) * qw[SKEY]).astype(dtype)
 
 
 def matmul(x: jax.Array, w) -> jax.Array:
     """x @ w for plain or quantized w. Dequant fuses into the matmul: the
-    int8 tensor is the HBM-resident operand."""
+    int8/int4 tensor is the HBM-resident operand."""
     if not is_quantized(w):
         return x @ w
+    if Q4KEY in w:
+        return x @ dequantize_array(w, x.dtype)
     wq = w[QKEY].astype(x.dtype)
     out = x @ wq
     return out * w[SKEY].reshape(w[SKEY].shape[-1]).astype(out.dtype)
@@ -90,9 +134,9 @@ def _set(tree, path, value):
 
 
 def quantize_lm_params(lm_params, paths: Sequence = LLAMA_QUANT_PATHS,
-                       in_place: bool = True):
-    """Replace the listed matrices with int8 dicts. Norms/embeddings stay
-    bf16.
+                       in_place: bool = True, bits: int = 8):
+    """Replace the listed matrices with int8 (or blockwise int4) dicts.
+    Norms/embeddings stay bf16.
 
     ``in_place=True`` (default) mutates the tree and frees each bf16 tensor
     as soon as its int8 replacement exists — without this, a 7B model needs
@@ -105,20 +149,23 @@ def quantize_lm_params(lm_params, paths: Sequence = LLAMA_QUANT_PATHS,
             return t
 
         lm_params = copy_dicts(lm_params)
+    assert bits in (4, 8), bits
+    quantize = quantize_array if bits == 8 else quantize_array_int4
     for path in paths:
         w = _get(lm_params, path)
         if w is None:
             continue
-        q = quantize_array(w)
+        q = quantize(w)
         _set(lm_params, path, q)
         del w
         # block so the freed buffer is actually released before the next one
-        jax.block_until_ready(q[QKEY])
+        jax.block_until_ready(q[QKEY if bits == 8 else Q4KEY])
     return lm_params
 
 
 def quantize_llava_params(params, model_type: str = "llama",
-                          in_place: bool = True):
+                          in_place: bool = True, bits: int = 8):
     paths = MPT_QUANT_PATHS if model_type == "mpt" else LLAMA_QUANT_PATHS
-    lm = quantize_lm_params(params["language_model"], paths, in_place=in_place)
+    lm = quantize_lm_params(params["language_model"], paths,
+                            in_place=in_place, bits=bits)
     return dict(params, language_model=lm)

@@ -65,11 +65,20 @@ def init_lora_params(
 ):
     """Create {path: {"a": [L, in, r], "b": [L, r, out]}} (a ~ N(0, 0.02),
     b = 0 so training starts at the base model)."""
+    from llava_plus_tpu.ops import quant
+
     lora = {}
     keys = jax.random.split(key, len(targets))
     for k, path in zip(keys, targets):
-        w = _get(lm_params, path)  # [L, in, out]
-        L, d_in, d_out = w.shape
+        w = _get(lm_params, path)  # [L, in, out] (or a quantized dict)
+        if quant.is_quantized(w):
+            if quant.Q4KEY in w:  # [L, in/B, B/2, out] packed nibbles
+                L, nb, _, d_out = w[quant.Q4KEY].shape
+                d_in = nb * quant.INT4_BLOCK
+            else:
+                L, d_in, d_out = w[quant.QKEY].shape
+        else:
+            L, d_in, d_out = w.shape
         lora["/".join(path)] = {
             "a": (jax.random.normal(k, (L, d_in, cfg.r)) * 0.02).astype(dtype),
             "b": jnp.zeros((L, cfg.r, d_out), dtype),
@@ -78,11 +87,17 @@ def init_lora_params(
 
 
 def apply_lora(lm_params, lora_params, cfg: LoraConfig):
-    """Materialize effective weights: W + scaling * a @ b (batched over L)."""
-    out = jax.tree.map(lambda x: x, lm_params)  # shallow-ish copy of dicts
+    """Materialize effective weights: W + scaling * a @ b (batched over L).
+
+    When the frozen base weight is int8/int4-quantized (QLoRA — the
+    reference's ``--bits 4`` bitsandbytes path, train.py:814-831), it is
+    dequantized to bf16 inside the compiled step before the delta is added;
+    only the quantized tensors live in HBM between steps.
+    """
+    from llava_plus_tpu.ops import quant
 
     def copy_dicts(t):
-        if isinstance(t, dict):
+        if isinstance(t, dict) and not quant.is_quantized(t):
             return {k: copy_dicts(v) for k, v in t.items()}
         return t
 
@@ -90,6 +105,8 @@ def apply_lora(lm_params, lora_params, cfg: LoraConfig):
     for joined, ab in lora_params.items():
         path = tuple(joined.split("/"))
         w = _get(out, path)
+        if quant.is_quantized(w):
+            w = quant.dequantize_array(w, jnp.bfloat16)
         delta = jnp.einsum(
             "lir,lro->lio", ab["a"].astype(jnp.float32),
             ab["b"].astype(jnp.float32),
@@ -263,7 +280,13 @@ def save_peft_adapter(lora_params, cfg: LoraConfig, out_dir,
     if extra_trainables:
         import torch
 
+        def to_torch(v):
+            a = np.asarray(v)
+            if a.dtype.name == "bfloat16":  # torch can't ingest ml_dtypes bf16
+                return torch.from_numpy(a.astype(np.float32)).to(torch.bfloat16)
+            return torch.tensor(a)
+
         torch.save(
-            {k: torch.tensor(np.asarray(v)) for k, v in extra_trainables.items()},
+            {k: to_torch(v) for k, v in extra_trainables.items()},
             str(out_dir / "non_lora_trainables.bin"),
         )

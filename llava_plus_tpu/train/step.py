@@ -59,9 +59,60 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def _quant_specs(spec):
+    """Derive qvalue/scale PartitionSpecs from the bf16 weight's spec.
+
+    int8 keeps the weight's rank; int4 splits the contraction dim into
+    (blocks, block), so a None slots in between. The scale never shards the
+    (size-1 or block) contraction slot.
+    """
+    s = tuple(spec) if spec is not None else ()
+    lead, d_in, d_out = s[:-2], s[-2] if len(s) >= 2 else None, s[-1] if s else None
+    return {
+        "qvalue": P(*lead, d_in, d_out),
+        "qvalue4": P(*lead, d_in, None, d_out),
+        "scale8": P(*lead, None, d_out),
+        "scale4": P(*lead, d_in, None, d_out),
+    }
+
+
 def place_params(params, mesh: Mesh, cfg: LlavaConfig):
-    """device_put a param tree onto the mesh with the FSDP/TP rule table."""
-    return jax.device_put(params, shardings(mesh, llava_param_specs(cfg)))
+    """device_put a param tree onto the mesh with the FSDP/TP rule table.
+
+    Quantized leaves (QLoRA int8/int4 dicts) get specs derived from the
+    bf16 weight's rule so the frozen base still shards over fsdp/tp.
+    """
+    from llava_plus_tpu.ops import quant
+
+    specs = llava_param_specs(cfg)
+
+    def walk(p, s):
+        if quant.is_quantized(p):
+            qs = _quant_specs(s)
+            if quant.Q4KEY in p:
+                return {
+                    quant.Q4KEY: jax.device_put(
+                        p[quant.Q4KEY], NamedSharding(mesh, qs["qvalue4"])),
+                    quant.SKEY: jax.device_put(
+                        p[quant.SKEY], NamedSharding(mesh, qs["scale4"])),
+                }
+            return {
+                quant.QKEY: jax.device_put(
+                    p[quant.QKEY], NamedSharding(mesh, qs["qvalue"])),
+                quant.SKEY: jax.device_put(
+                    p[quant.SKEY], NamedSharding(mesh, qs["scale8"])),
+            }
+        if isinstance(p, dict):
+            return {k: walk(v, s[k] if isinstance(s, dict) else s)
+                    for k, v in p.items()}
+        if isinstance(p, (list, tuple)):
+            return type(p)(
+                walk(v, s[i] if isinstance(s, (list, tuple)) else s)
+                for i, v in enumerate(p)
+            )
+        return jax.device_put(p, NamedSharding(mesh, s))
+
+    return walk(params, specs)
 
 
 def init_opt_state(optimizer: optax.GradientTransformation, params):

@@ -77,6 +77,9 @@ class TrainingArguments:
     group_by_modality_length: bool = False
     gradient_checkpointing: bool = True
     bf16: bool = True
+    # 4/8 = QLoRA: quantize the frozen LM (blockwise int4 / per-channel int8)
+    # and train only the adapters (ref train.py:814-831 bitsandbytes path).
+    bits: int = 16
     lora_enable: bool = False
     lora_r: int = 128
     lora_alpha: int = 256
@@ -102,7 +105,9 @@ def build_model(model_args: ModelArguments, dtype):
             cfg, jax.random.PRNGKey(0),
             jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
         )
-        return params, cfg, None
+        from llava_plus_tpu.data.debug_tokenizer import DebugTokenizer
+
+        return params, cfg, DebugTokenizer(vocab_size=cfg.text.vocab_size)
 
     from llava_plus_tpu.models.builder import load_pretrained_model
 
@@ -197,6 +202,10 @@ def train(model_args: ModelArguments, data_args: DataArguments,
             r=training_args.lora_r, alpha=training_args.lora_alpha,
             dropout=training_args.lora_dropout,
         )
+        if training_args.bits in (4, 8):
+            from llava_plus_tpu.ops.quant import quantize_llava_params
+
+            params = quantize_llava_params(params, bits=training_args.bits)
         lora_params = init_lora_params(
             params["language_model"], lora_cfg, jax.random.PRNGKey(1)
         )
@@ -352,12 +361,22 @@ def main():
     for dc in (ModelArguments, DataArguments, TrainingArguments):
         for f in dataclasses.fields(dc):
             arg = "--" + f.name.replace("_", "-")
+            ann = str(f.type)
             if f.type == bool or isinstance(f.default, bool):
                 parser.add_argument(arg, type=lambda x: x.lower() == "true",
                                     default=f.default)
+            elif f.default is not None:
+                parser.add_argument(arg, type=type(f.default),
+                                    default=f.default)
             else:
-                typ = str if f.default is None else type(f.default)
-                parser.add_argument(arg, type=typ, default=f.default)
+                # Optional[...] fields: recover the scalar type from the
+                # annotation so "--max-steps 3" parses as int, not "3".
+                typ = str
+                if "int" in ann:
+                    typ = int
+                elif "float" in ann:
+                    typ = float
+                parser.add_argument(arg, type=typ, default=None)
     args = parser.parse_args()
 
     def pick(dc):

@@ -1,0 +1,17 @@
+#!/bin/bash
+# MM-Vet eval (ref scripts/v1_5/eval/mmvet.sh).
+
+CKPT="llava-v1.5-7b"
+
+python -m llava_plus_tpu.eval.model_vqa \
+    --model-path ./checkpoints/$CKPT \
+    --question-file ./playground/data/eval/mm-vet/llava-mm-vet.jsonl \
+    --image-folder ./playground/data/eval/mm-vet/images \
+    --answers-file ./playground/data/eval/mm-vet/answers/$CKPT.jsonl \
+    --temperature 0 \
+    --conv-mode llava_v1
+
+mkdir -p ./playground/data/eval/mm-vet/results
+python scripts/convert_mmvet_for_eval.py \
+    --src ./playground/data/eval/mm-vet/answers/$CKPT.jsonl \
+    --dst ./playground/data/eval/mm-vet/results/$CKPT.json

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Q-Bench eval, dev|test split as $1 (ref scripts/v1_5/eval/qbench.sh).
+
+if [ "$1" != "dev" ] && [ "$1" != "test" ]; then
+    echo "Unknown split, please choose between 'dev' and 'test'."
+    exit 1
+fi
+
+python -m llava_plus_tpu.eval.model_vqa_qbench \
+    --model-path ./checkpoints/llava-v1.5-7b \
+    --image-folder ./playground/data/eval/qbench/images_llvisionqa/ \
+    --questions-file ./playground/data/eval/qbench/llvisionqa_$1.json \
+    --answers-file ./playground/data/eval/qbench/llvisionqa_$1_answers.jsonl \
+    --conv-mode llava_v1 \
+    --lang en

@@ -1,0 +1,17 @@
+#!/bin/bash
+# VizWiz eval (ref scripts/v1_5/eval/vizwiz.sh).
+
+CKPT="llava-v1.5-7b"
+
+python -m llava_plus_tpu.eval.model_vqa_loader \
+    --model-path ./checkpoints/$CKPT \
+    --question-file ./playground/data/eval/vizwiz/llava_test.jsonl \
+    --image-folder ./playground/data/eval/vizwiz/test \
+    --answers-file ./playground/data/eval/vizwiz/answers/$CKPT.jsonl \
+    --temperature 0 \
+    --conv-mode llava_v1
+
+python scripts/convert_vizwiz_for_submission.py \
+    --annotation-file ./playground/data/eval/vizwiz/llava_test.jsonl \
+    --result-file ./playground/data/eval/vizwiz/answers/$CKPT.jsonl \
+    --result-upload-file ./playground/data/eval/vizwiz/answers_upload/$CKPT.json

@@ -92,3 +92,60 @@ def test_resize_token_embeddings_mean_init():
     np.testing.assert_allclose(
         np.asarray(grown["embed_tokens"][100]), mean, atol=1e-6
     )
+
+
+def test_int4_roundtrip_and_matmul():
+    from llava_plus_tpu.ops.quant import quantize_array_int4
+
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+    qw = quantize_array_int4(w)
+    assert qw["qvalue4"].dtype == jnp.int8
+    assert qw["qvalue4"].shape == (64 // 32, 16, 128)  # packed nibble pairs
+    deq = dequantize_array(qw, jnp.float32)
+    assert deq.shape == w.shape
+    rel = float(jnp.abs(deq - w).max() / jnp.abs(w).max())
+    assert rel < 0.12  # 4-bit blockwise: ~1/14 of per-block max
+
+    x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    ref = x @ w
+    got = matmul(x, qw)
+    err = float(jnp.abs(got - ref).max() / jnp.abs(ref).max())
+    assert err < 0.2
+
+
+def test_qlora_step_trains_only_adapters():
+    """QLoRA: int4 frozen base + LoRA delta; forward runs and adapters move."""
+    from llava_plus_tpu.ops.quant import quantize_lm_params
+    from llava_plus_tpu.train.lora import (
+        LoraConfig, apply_lora, init_lora_params,
+    )
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ref_logits, _ = llama.forward(params, cfg, jnp.arange(8)[None], attn_impl="xla")
+
+    qlm = quantize_lm_params(params, bits=4)
+    lcfg = LoraConfig(r=4, alpha=8)
+    lora = init_lora_params(qlm, lcfg, jax.random.PRNGKey(1))
+
+    def loss(lora):
+        eff = apply_lora(qlm, lora, lcfg)
+        logits, _ = llama.forward(eff, cfg, jnp.arange(8)[None], attn_impl="xla")
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    # b=0 at init -> effective weights == dequantized base
+    l0, grads = jax.value_and_grad(loss)(lora)
+    got0, _ = llama.forward(
+        apply_lora(qlm, lora, lcfg), cfg, jnp.arange(8)[None], attn_impl="xla"
+    )
+    err = float(jnp.abs(got0 - ref_logits).max() / jnp.abs(ref_logits).max())
+    assert err < 0.5  # int4 base tracks fp32 base
+
+    # gradients hit the adapters (b gets nonzero grad through a)
+    gb = grads["layers/attn/wq"]["b"]
+    assert float(jnp.abs(gb).max()) > 0.0
