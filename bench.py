@@ -36,7 +36,7 @@ def build(model_name: str):
         LLAVA_15_7B, LlavaConfig, tiny_llava_config,
     )
 
-    if model_name == "llava-1.5-7b-int8":
+    if model_name in ("llava-1.5-7b-int8", "llava-1.5-7b-int4"):
         cfg = LLAVA_15_7B
     elif model_name == "llava-1.5-7b":
         cfg = LLAVA_15_7B
@@ -54,10 +54,11 @@ def build(model_name: str):
     params = llava_model.init_params(
         cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16
     )
-    if model_name.endswith("-int8"):
+    if model_name.endswith(("-int8", "-int4")):
         from llava_plus_tpu.ops.quant import quantize_llava_params
 
-        params = quantize_llava_params(params)
+        bits = 4 if model_name.endswith("-int4") else 8
+        params = quantize_llava_params(params, bits=bits)
     return cfg, params
 
 
@@ -115,6 +116,28 @@ def run(model_name: str):
         )
         return jnp.argmax(logits[:, 0], axis=-1)[:, None], cache
 
+    @functools.partial(
+        jax.jit, static_argnames=("n_steps",), donate_argnums=(1,)
+    )
+    def decode_n(params, cache, token, pos, *, n_steps):
+        """Greedy decode of n_steps tokens as ONE device program: on a
+        tunneled TPU, per-token dispatch costs a host round-trip comparable
+        to the step itself; lax.scan amortizes it away (same path as
+        Generator._decode_n)."""
+        def body(carry, _):
+            token, pos, cache = carry
+            seg = jnp.ones_like(token, jnp.int32)
+            logits, cache = llava_model.decode_step(
+                params, cfg, token, pos, seg, cache
+            )
+            nxt = jnp.argmax(logits[:, 0], axis=-1)[:, None]
+            return (nxt, pos + 1, cache), nxt[:, 0]
+
+        (token, pos, cache), toks = jax.lax.scan(
+            body, (token, pos, cache), None, length=n_steps
+        )
+        return toks, token, cache
+
     def make_cache():
         return llama.KVCache.create(cfg.text, 1, CACHE_LEN, jnp.bfloat16)
 
@@ -126,8 +149,9 @@ def run(model_name: str):
     # Warmup / compile
     cache = make_cache()
     tok, cache = prefill(params, cache, batch)
-    tok, cache = decode(
-        params, cache, tok, jnp.full((1, 1), prompt_len, jnp.int32)
+    _, tok, cache = decode_n(
+        params, cache, tok, jnp.full((1, 1), prompt_len, jnp.int32),
+        n_steps=MAX_NEW_TOKENS,
     )
     sync(tok)
 
@@ -140,15 +164,13 @@ def run(model_name: str):
     sync(tok)
     ttft = time.perf_counter() - t0
 
-    # Timed: decode loop
+    # Timed: decode loop (one on-device program for all MAX_NEW_TOKENS)
     t0 = time.perf_counter()
-    pos = prompt_len
-    for _ in range(MAX_NEW_TOKENS):
-        tok, cache2 = decode(
-            params, cache2, tok, jnp.full((1, 1), pos, jnp.int32)
-        )
-        pos += 1
-    sync(tok)
+    toks, tok, cache2 = decode_n(
+        params, cache2, tok, jnp.full((1, 1), prompt_len, jnp.int32),
+        n_steps=MAX_NEW_TOKENS,
+    )
+    sync(toks)
     decode_time = time.perf_counter() - t0
 
     total_time = ttft + decode_time
@@ -174,6 +196,9 @@ def main():
     # leak device buffers into the fallback.
     import subprocess
 
+    # int8 first: the int4 path OOMs at 7B/32-layer scale on the tunneled
+    # 16 GB chip (runtime buffer behavior under investigation; int4 works
+    # to ~24 layers and in QLoRA training).
     for model in ("llava-1.5-7b-int8", "llava-1.5-7b",
                   "llava-1.5-7b-lite", "tiny"):
         proc = subprocess.run(

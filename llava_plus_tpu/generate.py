@@ -147,8 +147,37 @@ class Generator:
             nxt = sample_token(logits[:, 0], key, temperature, top_p)
             return nxt[:, None], cache
 
+        @functools.partial(
+            jax.jit, static_argnames=("n_steps",), donate_argnums=(1,)
+        )
+        def _decode_n(params, cache, token, pos, key, temperature, top_p,
+                      *, n_steps: int):
+            """n_steps decode iterations in ONE device program (lax.scan).
+
+            Per-token host dispatch costs one tunnel round-trip on remote
+            TPUs (~5 ms — comparable to the 7B step itself); scanning on
+            device amortizes it to one round-trip per chunk. Returns the
+            emitted tokens [B, n_steps] plus the carried (token, cache).
+            """
+            def body(carry, _):
+                token, pos, key, cache = carry
+                key, sub = jax.random.split(key)
+                seg = jnp.ones_like(token, jnp.int32)
+                logits, cache = llava_model.decode_step(
+                    params, self.cfg, token, pos, seg, cache,
+                    attn_impl=self.attn_impl,
+                )
+                nxt = sample_token(logits[:, 0], sub, temperature, top_p)
+                return (nxt[:, None], pos + 1, key, cache), nxt
+
+            (token, pos, key, cache), toks = jax.lax.scan(
+                body, (token, pos, key, cache), None, length=n_steps
+            )
+            return jnp.swapaxes(toks, 0, 1), token, pos, key, cache
+
         self._prefill = _prefill
         self._decode = _decode
+        self._decode_n = _decode_n
 
     # ------------------------------------------------------------------
 
@@ -183,9 +212,16 @@ class Generator:
         top_p: float = 1.0,
         stop_strings: Sequence[str] = (),
         seed: int = 0,
+        decode_chunk: int = 1,
     ) -> Iterator[str]:
         """Yield cumulative generated text after each token (serving wire
-        semantics, ref model_worker.py:187-192)."""
+        semantics, ref model_worker.py:187-192).
+
+        ``decode_chunk > 1`` runs that many decode steps per device program
+        (lax.scan) and still yields token-by-token from the fetched chunk —
+        trading first-token-in-chunk latency for amortized dispatch. The
+        only waste is the tail of the chunk where EOS/stop landed.
+        """
         imgs = None if images is None else [images]
         batch, plan = self.prepare_batch([prompt], imgs)
         prompt_len = int(plan.lengths[0])
@@ -205,27 +241,57 @@ class Generator:
         eos = self.tokenizer.eos_token_id
         out_ids: List[int] = []
         pos = prompt_len
-        for _ in range(max(budget, 0)):
-            tid = int(token[0, 0])
+        emitted = 0
+        pending: List[int] = []  # tokens fetched but not yet emitted
+
+        def emit(tid):
+            """Append tid; return (text, done). None text = suppressed."""
             if tid == eos:
-                break
+                return None, True
             out_ids.append(tid)
             self._last_output_ids = out_ids
             text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
-            stopped = False
             for s in stop_strings:
                 if s and s in text:
-                    text = text.split(s)[0]
-                    stopped = True
-            yield text
-            if stopped:
+                    return text.split(s)[0], True
+            return text, False
+
+        # `token` always holds the newest unemitted token (device array);
+        # `pending` holds older fetched-but-unemitted tokens. A new decode
+        # may only be dispatched right after the carry token is emitted —
+        # dispatching earlier would consume (and lose) it.
+        while emitted < budget:
+            if pending:
+                text, done = emit(pending.pop(0))
+                if text is not None:
+                    yield text
+                emitted += 1
+                if done:
+                    break
+                continue
+            text, done = emit(int(token[0, 0]))
+            if text is not None:
+                yield text
+            emitted += 1
+            if done or emitted >= budget:
                 break
-            key, sub = jax.random.split(key)
-            token, cache = self._decode(
-                self.params, cache,
-                token, jnp.full((1, 1), pos, jnp.int32), sub, temp, tp,
-            )
-            pos += 1
+            k = min(max(decode_chunk, 1), budget - emitted)
+            if k > 1:
+                toks, token, _, key, cache = self._decode_n(
+                    self.params, cache, token,
+                    jnp.full((1, 1), pos, jnp.int32), key, temp, tp,
+                    n_steps=k,
+                )
+                # the scan's carry (`token`) IS the last scanned emission;
+                # queue only the first k-1 so it isn't emitted twice
+                pending = [int(t) for t in np.asarray(jax.device_get(toks))[0][:-1]]
+            else:
+                key, sub = jax.random.split(key)
+                token, cache = self._decode(
+                    self.params, cache,
+                    token, jnp.full((1, 1), pos, jnp.int32), sub, temp, tp,
+                )
+            pos += k
 
     def generate(
         self,
@@ -233,6 +299,9 @@ class Generator:
         images: Optional[np.ndarray] = None,
         **kw,
     ) -> GenerationResult:
+        # Non-streaming callers don't need per-token latency; decode in
+        # 32-token device programs unless the caller chose otherwise.
+        kw.setdefault("decode_chunk", 32)
         text = ""
         for text in self.stream(prompt, images, **kw):
             pass

@@ -31,6 +31,20 @@ logger = build_logger("builder", "model_builder.log")
 
 
 def load_tokenizer(model_path: str):
+    path = Path(model_path)
+    has_tok_files = any(
+        (path / f).exists()
+        for f in ("tokenizer.json", "tokenizer.model", "tokenizer_config.json")
+    )
+    if not has_tok_files and (path / "config.json").exists():
+        # checkpoints from --tiny-debug-model runs carry no tokenizer; fall
+        # back to the deterministic offline DebugTokenizer so the full
+        # serve/eval stack runs without downloads
+        cfg = _read_config(path)
+        logger.warning(f"{model_path}: no tokenizer files; using DebugTokenizer")
+        from llava_plus_tpu.data.debug_tokenizer import DebugTokenizer
+
+        return DebugTokenizer(vocab_size=cfg.get("vocab_size", 32000))
     from transformers import AutoTokenizer
 
     return AutoTokenizer.from_pretrained(model_path, use_fast=True)

@@ -316,11 +316,17 @@ def projector_params_from_state_dict(
 def llava_config_from_hf_dir(path) -> LlavaConfig:
     d = json.loads((Path(path) / "config.json").read_text())
     vision_name = d.get("mm_vision_tower", "openai/clip-vit-large-patch14-336")
-    vision = ClipVisionConfig(
-        image_size=336 if "336" in str(vision_name) else 224,
-        select_layer=d.get("mm_vision_select_layer", -2),
-        select_feature=d.get("mm_vision_select_feature", "patch"),
-    )
+    if "mm_vision_config" in d:
+        # our exporter records the tower's actual dims (needed for non-CLIP-L
+        # towers and tiny debug checkpoints); reference checkpoints carry
+        # only the tower name
+        vision = ClipVisionConfig(**d["mm_vision_config"])
+    else:
+        vision = ClipVisionConfig(
+            image_size=336 if "336" in str(vision_name) else 224,
+            select_layer=d.get("mm_vision_select_layer", -2),
+            select_feature=d.get("mm_vision_select_feature", "patch"),
+        )
     return LlavaConfig(
         language_model_type="llama",
         text=llama_config_from_hf(d),

@@ -54,10 +54,16 @@ def quantize_array_int4(w: jax.Array) -> Dict[str, jax.Array]:
     (``builder.py:32-41``): ~4.5 bits/weight resident in HBM (two nibbles
     packed per int8 + one f32 scale per 32-block), streamed and dequantized
     inside the matmul. Packed int8 is used rather than the jnp.int4 dtype —
-    int4 jit arguments trip relayout bugs on the CPU backend. Stored as
-    ``{"qvalue4": int8 [..., in/B, B/2, out], "scale":
-    f32 [..., in/B, 1, out]}``; the input dim must divide INT4_BLOCK (true
-    for every transformer matrix we quantize).
+    int4 jit arguments trip relayout bugs on the CPU backend. Stored FLAT as
+    ``{"qvalue4": int8 [..., in/2, out], "scale": f32 [..., in/B, out]}`` —
+    flat because TPU tiling pads small trailing-2D dims (a [.., 16, N] int8
+    tile pads its sublane dim to 32, and a size-1 dim pads to 8), which
+    would double/8x the resident footprint. The input dim must divide
+    INT4_BLOCK (true for every transformer matrix we quantize).
+
+    Within each 32-row block the packing is split-half: low nibble = rows
+    0..15, high nibble = rows 16..31 (so unpack is one sublane concat, no
+    interleave — see ops/quant_matmul.py).
     """
     *lead, d_in, d_out = w.shape
     assert d_in % INT4_BLOCK == 0, (d_in, INT4_BLOCK)
@@ -65,34 +71,72 @@ def quantize_array_int4(w: jax.Array) -> Dict[str, jax.Array]:
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
-    lo = q[..., 0::2, :] & 0x0F
-    hi = (q[..., 1::2, :] & 0x0F) << 4
-    return {Q4KEY: (lo | hi).astype(jnp.int8), SKEY: scale.astype(jnp.float32)}
+    half = INT4_BLOCK // 2
+    lo = q[..., :half, :] & 0x0F
+    hi = (q[..., half:, :] & 0x0F) << 4
+    packed = (lo | hi).astype(jnp.int8)
+    return {
+        Q4KEY: packed.reshape(*lead, d_in // 2, d_out),
+        SKEY: scale.astype(jnp.float32).reshape(*lead, d_in // INT4_BLOCK, d_out),
+    }
 
 
 def _unpack_int4(packed: jax.Array) -> jax.Array:
-    """int8 [..., nb, B/2, out] -> int8 [..., nb, B, out] (sign-extended)."""
-    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
-    hi = jnp.right_shift(packed, 4)
-    *lead, nb, half, d_out = packed.shape
-    return jnp.stack([lo, hi], axis=-2).reshape(*lead, nb, half * 2, d_out)
+    """flat int8 [..., in/2, out] -> int8 [..., in/B, B, out] (sign-ext)."""
+    *lead, half_in, d_out = packed.shape
+    nb = half_in * 2 // INT4_BLOCK
+    p = packed.reshape(*lead, nb, INT4_BLOCK // 2, d_out)
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+    hi = jnp.right_shift(p, 4)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def dequantize_array(qw: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
     if Q4KEY in qw:
-        wf = _unpack_int4(qw[Q4KEY]).astype(jnp.float32) * qw[SKEY]
-        *lead, nb, b, d_out = wf.shape
+        unpacked = _unpack_int4(qw[Q4KEY]).astype(jnp.float32)
+        *lead, nb, b, d_out = unpacked.shape
+        scale = qw[SKEY].reshape(*lead, nb, 1, d_out)
+        wf = unpacked * scale
         return wf.reshape(*lead, nb * b, d_out).astype(dtype)
     return (qw[QKEY].astype(jnp.float32) * qw[SKEY]).astype(dtype)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def matmul(x: jax.Array, w) -> jax.Array:
     """x @ w for plain or quantized w. Dequant fuses into the matmul: the
-    int8/int4 tensor is the HBM-resident operand."""
+    int8/int4 tensor is the HBM-resident operand.
+
+    int8 uses the XLA dense path (`x @ q.astype(bf16)` — XLA streams the
+    int8 and fuses the convert; measured faster than a hand kernel). int4
+    always goes through the Pallas kernel on TPU: the XLA dense path's
+    unpack graph makes the 7B forward program OOM at runtime.
+    """
     if not is_quantized(w):
         return x @ w
+
+    lead, K = x.shape[:-1], x.shape[-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+
     if Q4KEY in w:
+        q, s = w[Q4KEY], w[SKEY]
+        if _on_tpu() and q.ndim == 2:  # per-layer slice [K/2, N]
+            from llava_plus_tpu.ops import quant_matmul
+
+            N = q.shape[-1]
+            if (quant_matmul._pick_block_n(N)
+                    and quant_matmul._pick_block_k(K)):
+                out = quant_matmul.matmul_int4(x.reshape(rows, K), q, s)
+                return out.reshape(*lead, N).astype(x.dtype)
         return x @ dequantize_array(w, x.dtype)
+
     wq = w[QKEY].astype(x.dtype)
     out = x @ wq
     return out * w[SKEY].reshape(w[SKEY].shape[-1]).astype(out.dtype)

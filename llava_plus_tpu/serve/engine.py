@@ -73,6 +73,7 @@ class BatchedEngine:
         prefill_bucket: int = 256,
         cache_dtype=jnp.bfloat16,
         idle_sleep: float = 0.002,
+        decode_chunk: int = 4,
     ):
         self.params = params
         self.cfg = cfg
@@ -82,6 +83,7 @@ class BatchedEngine:
         self.prefill_bucket = prefill_bucket
         self.cache_dtype = cache_dtype
         self.idle_sleep = idle_sleep
+        self.decode_chunk = max(decode_chunk, 1)
 
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._slots = [_Slot() for _ in range(max_slots)]
@@ -149,6 +151,36 @@ class BatchedEngine:
             nxt = jnp.where(active, nxt, 0)
             return nxt[:, None], cache
 
+        @functools.partial(
+            jax.jit, static_argnames=("n_steps",), donate_argnums=(1,)
+        )
+        def decode_n(params, cache, tokens, positions, active, keys,
+                     temperature, top_p, *, n_steps):
+            """n_steps batched decode steps as ONE device program.
+
+            Per-step sampling keys are fold_in(request_key, position) —
+            deterministic per request with no key carry, so the host only
+            round-trips once per chunk instead of twice per token. Slots
+            whose request finishes mid-chunk keep stepping (their tail
+            tokens are discarded host-side; the cache garbage is
+            overwritten on the next insert).
+            """
+            def body(carry, _):
+                tokens, positions, cache = carry
+                seg = active[:, None].astype(jnp.int32)
+                logits, cache = llava_model.decode_step(
+                    params, cfg, tokens, positions[:, None], seg, cache
+                )
+                subs = jax.vmap(jax.random.fold_in)(keys, positions)
+                nxt = _sample_batch(logits[:, 0], subs, temperature, top_p)
+                nxt = jnp.where(active, nxt, 0)
+                return (nxt[:, None], positions + 1, cache), nxt
+
+            (tokens, positions, cache), toks = jax.lax.scan(
+                body, (tokens, positions, cache), None, length=n_steps
+            )
+            return jnp.swapaxes(toks, 0, 1), tokens, cache
+
         def _sample_batch(logits, keys, temperature, top_p):
             greedy = jnp.argmax(logits, axis=-1)
             scaled = logits / jnp.maximum(temperature[:, None], 1e-6)
@@ -168,6 +200,7 @@ class BatchedEngine:
         self._prefill = prefill
         self._insert = insert
         self._decode = decode
+        self._decode_n = decode_n
 
     # -- public API ----------------------------------------------------
 
@@ -253,6 +286,34 @@ class BatchedEngine:
         slot.budget = min(req.max_new_tokens, self.max_seq_len - prompt_len - 1)
         slot.key = key
 
+    def _emit_column(self, tokens_host):
+        """Host bookkeeping for one decoded column: emit each active slot's
+        token, applying eos/budget/stop; free finished slots."""
+        eos = self.tokenizer.eos_token_id
+        for i, slot in enumerate(self._slots):
+            if slot.request is None:
+                continue
+            tid = int(tokens_host[i])
+            req = slot.request
+            finished = False
+            if tid == eos or slot.budget <= 0:
+                finished = True
+            else:
+                slot.out_ids.append(tid)
+                slot.budget -= 1
+                text = self.tokenizer.decode(
+                    slot.out_ids, skip_special_tokens=True
+                )
+                for stop_s in req.stop_strings:
+                    if stop_s and stop_s in text:
+                        text = text.split(stop_s)[0]
+                        finished = True
+                req._chunks.put(text)
+            if finished:
+                req._chunks.put(None)
+                req._done.set()
+                slot.request = None
+
     def _loop(self):
         while not self._stop.is_set():
             self._admit()
@@ -263,32 +324,7 @@ class BatchedEngine:
                 time.sleep(self.idle_sleep)
                 continue
 
-            # host-side bookkeeping of the *current* token before stepping
-            tokens_host = np.asarray(jax.device_get(self.tokens))[:, 0]
-            eos = self.tokenizer.eos_token_id
-            for i in active_idx:
-                slot = self._slots[i]
-                tid = int(tokens_host[i])
-                req = slot.request
-                finished = False
-                if tid == eos or slot.budget <= 0:
-                    finished = True
-                else:
-                    slot.out_ids.append(tid)
-                    slot.budget -= 1
-                    text = self.tokenizer.decode(
-                        slot.out_ids, skip_special_tokens=True
-                    )
-                    for stop_s in req.stop_strings:
-                        if stop_s and stop_s in text:
-                            text = text.split(stop_s)[0]
-                            finished = True
-                    req._chunks.put(text)
-                if finished:
-                    req._chunks.put(None)
-                    req._done.set()
-                    slot.request = None
-
+            k = self.decode_chunk
             active = np.zeros((self.max_slots,), bool)
             temps = np.zeros((self.max_slots,), np.float32)
             tops = np.ones((self.max_slots,), np.float32)
@@ -300,17 +336,45 @@ class BatchedEngine:
                     temps[i] = slot.request.temperature
                     tops[i] = slot.request.top_p
                     positions[i] = slot.pos
-                    slot.key, sub = jax.random.split(slot.key)
-                    keys.append(sub)
-                    slot.pos += 1
+                    keys.append(slot.key)
                 else:
                     positions[i] = self.max_seq_len  # drop slot
                     keys.append(jax.random.PRNGKey(0))
-            if not active.any():
-                continue
 
-            self.tokens, self.cache = self._decode(
-                self.params, self.cache, self.tokens,
-                jnp.asarray(positions), jnp.asarray(active),
-                jnp.stack(keys), jnp.asarray(temps), jnp.asarray(tops),
-            )
+            # Dispatch the next chunk BEFORE fetching the current tokens so
+            # the host<->device round-trip overlaps device compute. The
+            # chunk's active mask is one emission stale: a slot finishing on
+            # the fetched token decodes k wasted steps (seg=0 writes are
+            # masked; the cache is overwritten on the next insert).
+            prev = self.tokens
+            if k > 1:
+                toks, self.tokens, self.cache = self._decode_n(
+                    self.params, self.cache, self.tokens,
+                    jnp.asarray(positions), jnp.asarray(active),
+                    jnp.stack(keys), jnp.asarray(temps), jnp.asarray(tops),
+                    n_steps=k,
+                )
+            else:
+                subs = []
+                for i, slot in enumerate(self._slots):
+                    if slot.request is not None:
+                        slot.key, sub = jax.random.split(slot.key)
+                        subs.append(sub)
+                    else:
+                        subs.append(jax.random.PRNGKey(0))
+                toks = None
+                self.tokens, self.cache = self._decode(
+                    self.params, self.cache, self.tokens,
+                    jnp.asarray(positions), jnp.asarray(active),
+                    jnp.stack(subs), jnp.asarray(temps), jnp.asarray(tops),
+                )
+
+            self._emit_column(np.asarray(jax.device_get(prev))[:, 0])
+            if toks is not None:
+                cols = np.asarray(jax.device_get(toks))  # [B, k]
+                # the chunk's last column is carried in self.tokens and will
+                # be emitted (as `prev`) next iteration
+                for j in range(k - 1):
+                    self._emit_column(cols[:, j])
+            for i in active_idx:
+                self._slots[i].pos += k

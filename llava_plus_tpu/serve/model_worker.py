@@ -67,24 +67,26 @@ class JaxBackend:
     """Real backend: jitted prefill/decode over a loaded checkpoint.
 
     ``use_engine=True`` (default) serves through the continuous-batching
-    engine so concurrent requests share decode steps; ``quantize="int8"``
-    enables weight-only int8 (the TPU analogue of --load-8bit)."""
+    engine so concurrent requests share decode steps; ``quantize="int8"`` /
+    ``"int4"`` enables weight-only quantization (the TPU analogue of
+    --load-8bit / --load-4bit, ref builder.py:32-41)."""
 
     def __init__(self, model_path: str, model_base: Optional[str],
                  model_name: Optional[str], *, load_dtype: str = "bfloat16",
                  use_engine: bool = True, max_slots: int = 8,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None, decode_chunk: int = 4):
         from llava_plus_tpu.models.builder import load_pretrained_model
 
         (self.tokenizer, params, self.cfg, self.image_processor,
          self.context_len) = load_pretrained_model(
             model_path, model_base, model_name, dtype=load_dtype
         )
-        if quantize == "int8":
+        if quantize in ("int8", "int4"):
             from llava_plus_tpu.ops.quant import quantize_llava_params
 
             params = quantize_llava_params(
-                params, self.cfg.language_model_type
+                params, self.cfg.language_model_type,
+                bits=4 if quantize == "int4" else 8,
             )
         from llava_plus_tpu.generate import Generator
 
@@ -95,6 +97,7 @@ class JaxBackend:
             self.engine = BatchedEngine(
                 params, self.cfg, self.tokenizer,
                 max_slots=max_slots, max_seq_len=self.context_len,
+                decode_chunk=decode_chunk,
             )
         self.generator = None if use_engine else Generator(
             params, self.cfg, self.tokenizer, self.image_processor,
@@ -402,6 +405,11 @@ def main():
                         help="protocol-test echo backend (no model)")
     parser.add_argument("--load-8bit", action="store_true",
                         help="weight-only int8 serving (TPU analogue of bnb)")
+    parser.add_argument("--load-4bit", action="store_true",
+                        help="weight-only blockwise int4 serving")
+    parser.add_argument("--decode-chunk", type=int, default=4,
+                        help="decode steps per device program (latency "
+                             "between stream flushes vs dispatch overhead)")
     parser.add_argument("--max-slots", type=int, default=8,
                         help="continuous-batching slot count")
     parser.add_argument("--no-engine", action="store_true",
@@ -419,7 +427,9 @@ def main():
         backend = JaxBackend(
             args.model_path, args.model_base, name,
             use_engine=not args.no_engine, max_slots=args.max_slots,
-            quantize="int8" if args.load_8bit else None,
+            quantize=("int4" if args.load_4bit else
+                      "int8" if args.load_8bit else None),
+            decode_chunk=args.decode_chunk,
         )
         model_names = [name]
 

@@ -12,6 +12,7 @@ Native training state (params + optimizer + step) uses orbax so sharded
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import re
 from pathlib import Path
@@ -208,6 +209,8 @@ def export_hf_llava(params, cfg: LlavaConfig, out_dir, tokenizer=None) -> Path:
         "mm_use_im_patch_token": cfg.mm_use_im_patch_token,
         "tokenizer_model_max_length": cfg.max_sequence_length,
         "torch_dtype": "bfloat16",
+        # actual vision-tower dims so import never guesses from the name
+        "mm_vision_config": dataclasses.asdict(cfg.vision),
     }
     (out_dir / "config.json").write_text(json.dumps(hf_cfg, indent=2))
     if tokenizer is not None and hasattr(tokenizer, "save_pretrained"):

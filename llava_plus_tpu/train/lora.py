@@ -72,9 +72,9 @@ def init_lora_params(
     for k, path in zip(keys, targets):
         w = _get(lm_params, path)  # [L, in, out] (or a quantized dict)
         if quant.is_quantized(w):
-            if quant.Q4KEY in w:  # [L, in/B, B/2, out] packed nibbles
-                L, nb, _, d_out = w[quant.Q4KEY].shape
-                d_in = nb * quant.INT4_BLOCK
+            if quant.Q4KEY in w:  # [L, in/2, out] packed nibbles
+                L, half_in, d_out = w[quant.Q4KEY].shape
+                d_in = half_in * 2
             else:
                 L, d_in, d_out = w[quant.QKEY].shape
         else:

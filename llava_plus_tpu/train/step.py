@@ -62,17 +62,17 @@ def make_train_step(
 def _quant_specs(spec):
     """Derive qvalue/scale PartitionSpecs from the bf16 weight's spec.
 
-    int8 keeps the weight's rank; int4 splits the contraction dim into
-    (blocks, block), so a None slots in between. The scale never shards the
-    (size-1 or block) contraction slot.
+    int8/int4 tensors keep the weight's rank ([.., K, N] / flat [.., K/2, N]
+    and [.., K/32, N]), so the weight's own spec applies; only the int8
+    per-channel scale (size-1 contraction slot) replicates that dim.
     """
     s = tuple(spec) if spec is not None else ()
     lead, d_in, d_out = s[:-2], s[-2] if len(s) >= 2 else None, s[-1] if s else None
     return {
         "qvalue": P(*lead, d_in, d_out),
-        "qvalue4": P(*lead, d_in, None, d_out),
+        "qvalue4": P(*lead, d_in, d_out),
         "scale8": P(*lead, None, d_out),
-        "scale4": P(*lead, d_in, None, d_out),
+        "scale4": P(*lead, d_in, d_out),
     }
 
 

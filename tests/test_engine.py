@@ -98,3 +98,23 @@ def test_engine_multimodal_request(setup):
         prompt="<image>\nwhat?", images=img, max_new_tokens=4,
     ))
     assert got == ref
+
+
+def test_engine_chunk1_matches_chunk4(setup):
+    """decode_chunk=1 and the scan-chunked loop must produce identical
+    greedy text (the module fixture engine runs the default chunk=4)."""
+    engine, gen = setup
+    cfg = engine.cfg
+    e1 = BatchedEngine(
+        engine.params, cfg, engine.tokenizer, max_slots=2, max_seq_len=96,
+        prefill_bucket=32, cache_dtype=jnp.float32, decode_chunk=1,
+    )
+    try:
+        for prompt in ["hello", "zq"]:
+            ref = e1.generate(Request(prompt=prompt, max_new_tokens=7,
+                                      temperature=0.0))
+            got = engine.generate(Request(prompt=prompt, max_new_tokens=7,
+                                          temperature=0.0))
+            assert got == ref
+    finally:
+        e1.stop()

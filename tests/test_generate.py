@@ -105,3 +105,24 @@ def test_sample_token_greedy_vs_nucleus():
         k = jax.random.PRNGKey(i)
         t = sample_token(logits, k, jnp.float32(1.0), jnp.float32(0.95))
         assert 0 <= int(t[0]) < 4
+
+
+@pytest.mark.parametrize("chunk", [2, 4, 32])
+def test_chunked_decode_matches_per_token(gen, chunk):
+    """decode_chunk>1 (on-device lax.scan) must emit exactly the same text
+    stream as per-token decode, including stop handling mid-chunk."""
+    prompt = "hello"
+    ref = list(gen.stream(prompt, max_new_tokens=11, temperature=0.0,
+                          decode_chunk=1))
+    got = list(gen.stream(prompt, max_new_tokens=11, temperature=0.0,
+                          decode_chunk=chunk))
+    assert got == ref
+
+
+def test_chunked_decode_respects_stop_string(gen):
+    ref = gen.generate("abc", max_new_tokens=12, temperature=0.0,
+                       decode_chunk=1)
+    got = gen.generate("abc", max_new_tokens=12, temperature=0.0,
+                       decode_chunk=5)
+    assert got.text == ref.text
+    assert got.output_ids == ref.output_ids

@@ -101,7 +101,8 @@ def test_int4_roundtrip_and_matmul():
     w = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
     qw = quantize_array_int4(w)
     assert qw["qvalue4"].dtype == jnp.int8
-    assert qw["qvalue4"].shape == (64 // 32, 16, 128)  # packed nibble pairs
+    assert qw["qvalue4"].shape == (32, 128)  # flat packed nibbles
+    assert qw["scale"].shape == (2, 128)
     deq = dequantize_array(qw, jnp.float32)
     assert deq.shape == w.shape
     rel = float(jnp.abs(deq - w).max() / jnp.abs(w).max())
@@ -149,3 +150,33 @@ def test_qlora_step_trains_only_adapters():
     # gradients hit the adapters (b gets nonzero grad through a)
     gb = grads["layers/attn/wq"]["b"]
     assert float(jnp.abs(gb).max()) > 0.0
+
+
+def test_pallas_int8_kernel_matches_dense():
+    from llava_plus_tpu.ops.quant import quantize_array
+    from llava_plus_tpu.ops.quant_matmul import matmul_int8
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(3, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+    q = quantize_array(w)
+    ref = x @ dequantize_array(q, jnp.float32)
+    got = matmul_int8(x, q["qvalue"], block_k=128, block_n=128,
+                      interpret=True) * q["scale"].reshape(-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_int4_kernel_matches_dense():
+    from llava_plus_tpu.ops.quant import quantize_array_int4
+    from llava_plus_tpu.ops.quant_matmul import matmul_int4
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(1, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+    q = quantize_array_int4(w)
+    ref = x @ dequantize_array(q, jnp.float32)
+    got = matmul_int4(x, q["qvalue4"], q["scale"],
+                      block_k=128, block_n=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
