@@ -62,7 +62,7 @@ def build(model_name: str):
     return cfg, params
 
 
-def run(model_name: str):
+def run(model_name: str, batch_size: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -75,16 +75,21 @@ def run(model_name: str):
     n_patch = cfg.num_image_tokens
     img_size = cfg.vision.image_size
 
+    B = batch_size
     rng = np.random.default_rng(0)
     n_text = max(PREFILL_LEN - n_patch, 8)
-    ids = np.concatenate([
-        [1], [IMAGE_TOKEN_INDEX], rng.integers(3, 30000, size=n_text - 1)
-    ])
+    ids_list = [
+        np.concatenate(
+            [[1], [IMAGE_TOKEN_INDEX], rng.integers(3, 30000, size=n_text - 1)]
+        )
+        for _ in range(B)
+    ]
     plan = plan_multimodal_batch(
-        [ids], num_patches=n_patch, max_len=CACHE_LEN, pad_to=PREFILL_LEN,
+        ids_list, num_patches=n_patch, max_len=CACHE_LEN, pad_to=PREFILL_LEN,
     )
     imgs = pad_images(
-        [rng.normal(size=(1, img_size, img_size, 3)).astype(np.float32)],
+        [rng.normal(size=(1, img_size, img_size, 3)).astype(np.float32)
+         for _ in range(B)],
         1, (img_size, img_size, 3),
     )
     batch = MultimodalBatch(
@@ -139,7 +144,7 @@ def run(model_name: str):
         return toks, token, cache
 
     def make_cache():
-        return llama.KVCache.create(cfg.text, 1, CACHE_LEN, jnp.bfloat16)
+        return llama.KVCache.create(cfg.text, B, CACHE_LEN, jnp.bfloat16)
 
     def sync(x):
         # axon (tunneled TPU) does not block in block_until_ready; a value
@@ -150,7 +155,7 @@ def run(model_name: str):
     cache = make_cache()
     tok, cache = prefill(params, cache, batch)
     _, tok, cache = decode_n(
-        params, cache, tok, jnp.full((1, 1), prompt_len, jnp.int32),
+        params, cache, tok, jnp.full((B, 1), prompt_len, jnp.int32),
         n_steps=MAX_NEW_TOKENS,
     )
     sync(tok)
@@ -167,14 +172,14 @@ def run(model_name: str):
     # Timed: decode loop (one on-device program for all MAX_NEW_TOKENS)
     t0 = time.perf_counter()
     toks, tok, cache2 = decode_n(
-        params, cache2, tok, jnp.full((1, 1), prompt_len, jnp.int32),
+        params, cache2, tok, jnp.full((B, 1), prompt_len, jnp.int32),
         n_steps=MAX_NEW_TOKENS,
     )
     sync(toks)
     decode_time = time.perf_counter() - t0
 
     total_time = ttft + decode_time
-    images_plus_tokens = 1 + MAX_NEW_TOKENS
+    images_plus_tokens = B * (1 + MAX_NEW_TOKENS)
     ips = images_plus_tokens / total_time
     return {
         "metric": "serving_images_plus_tokens_per_sec_per_chip",
@@ -183,6 +188,7 @@ def run(model_name: str):
         "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
         "detail": {
             "model": model_name,
+            "batch": B,
             "ttft_s": round(ttft, 4),
             "decode_tok_s": round(MAX_NEW_TOKENS / decode_time, 2),
             "prefill_len": PREFILL_LEN,
@@ -196,20 +202,24 @@ def main():
     # leak device buffers into the fallback.
     import subprocess
 
-    # int8 first: the int4 path OOMs at 7B/32-layer scale on the tunneled
-    # 16 GB chip (runtime buffer behavior under investigation; int4 works
-    # to ~24 layers and in QLoRA training).
-    for model in ("llava-1.5-7b-int8", "llava-1.5-7b",
-                  "llava-1.5-7b-lite", "tiny"):
+    # Continuous-batching is the headline serving config: one chip decodes
+    # B streams off one weight pass (the reference's concurrency-5 worker
+    # time-slices a GPU instead). Fall back through smaller batches, then
+    # precision, then model size. int4 is excluded at 7B scale for now: it
+    # OOMs the tunneled 16 GB chip (works to ~24 layers + QLoRA training).
+    for model, batch in (("llava-1.5-7b-int8", 8), ("llava-1.5-7b-int8", 4),
+                         ("llava-1.5-7b-int8", 1), ("llava-1.5-7b", 1),
+                         ("llava-1.5-7b-lite", 1), ("tiny", 1)):
         proc = subprocess.run(
-            [sys.executable, __file__, "--model", model],
+            [sys.executable, __file__, "--model", model, "--batch", str(batch)],
             capture_output=True, text=True, timeout=3600,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 print(line)
                 return
-        print(f"bench: {model} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
+        print(f"bench: {model} b{batch} failed:\n{proc.stderr[-2000:]}",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "serving_images_plus_tokens_per_sec_per_chip",
         "value": 0.0, "unit": "img+tok/s/chip", "vs_baseline": 0.0,
@@ -221,8 +231,9 @@ if __name__ == "__main__":
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, default=None)
+    parser.add_argument("--batch", type=int, default=1)
     args = parser.parse_args()
     if args.model:
-        print(json.dumps(run(args.model)))
+        print(json.dumps(run(args.model, args.batch)))
     else:
         main()

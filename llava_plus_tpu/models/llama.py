@@ -173,16 +173,24 @@ def _layer_forward(
     k = apply_rope(k, cos, sin)
 
     if layer_cache is not None:
-        k_cache, v_cache = layer_cache
+        # layer_cache = (k_all [L,B,T,Hkv,Dh], v_all, layer_idx): the FULL
+        # stacked cache rides the scan carry and is updated in place at
+        # [idx, b, pos]. Carrying (vs. emitting per-layer ys) lets XLA alias
+        # the donated input cache — the xs->ys form allocated a fresh
+        # full-cache copy per call (2x2GB temps at 7B/b8) and rewrote every
+        # byte of cache on every decode step.
+        k_all, v_all, idx = layer_cache
         # Write new k/v at their positions (slot == position); padding rows
         # carry position == max_len and drop out of range.
         b_idx = jnp.arange(B)[:, None]
-        k_cache = k_cache.at[b_idx, positions].set(
-            k.astype(k_cache.dtype), mode="drop"
+        k_all = k_all.at[idx, b_idx, positions].set(
+            k.astype(k_all.dtype), mode="drop"
         )
-        v_cache = v_cache.at[b_idx, positions].set(
-            v.astype(v_cache.dtype), mode="drop"
+        v_all = v_all.at[idx, b_idx, positions].set(
+            v.astype(v_all.dtype), mode="drop"
         )
+        k_cache = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
         attn_out = attention(
             q, k_cache, v_cache,
             causal=True,
@@ -191,7 +199,7 @@ def _layer_forward(
             q_positions=positions,
             impl=attn_impl,
         )
-        new_cache = (k_cache, v_cache)
+        new_cache = (k_all, v_all)
     else:
         attn_out = attention(
             q, k, v,
@@ -240,28 +248,31 @@ def decoder_forward(
             segment_ids, mode="drop"
         )
 
-    def body(carry_h, xs):
-        if cache is not None:
-            lp, k_cache, v_cache = xs
-            h_out, (nk, nv) = _layer_forward(
-                lp, carry_h, cos, sin, segment_ids, positions, cfg,
-                (k_cache, v_cache), new_cache_seg, attn_impl,
-            )
-            return h_out, (nk, nv)
-        lp = xs
-        h_out, _ = _layer_forward(
-            lp, carry_h, cos, sin, segment_ids, positions, cfg,
-            None, None, attn_impl,
-        )
-        return h_out, None
-
-    if remat:
-        body = jax.checkpoint(body)
-
     if cache is not None:
-        h, (ks, vs) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+        def body(carry, lp):
+            carry_h, k_all, v_all, idx = carry
+            h_out, (k_all, v_all) = _layer_forward(
+                lp, carry_h, cos, sin, segment_ids, positions, cfg,
+                (k_all, v_all, idx), new_cache_seg, attn_impl,
+            )
+            return (h_out, k_all, v_all, idx + 1), None
+
+        if remat:
+            body = jax.checkpoint(body)
+        (h, ks, vs, _), _ = jax.lax.scan(
+            body, (h, cache.k, cache.v, jnp.int32(0)), params["layers"]
+        )
         new_cache = KVCache(k=ks, v=vs, seg=new_cache_seg)
     else:
+        def body(carry_h, lp):
+            h_out, _ = _layer_forward(
+                lp, carry_h, cos, sin, segment_ids, positions, cfg,
+                None, None, attn_impl,
+            )
+            return h_out, None
+
+        if remat:
+            body = jax.checkpoint(body)
         h, _ = jax.lax.scan(body, h, params["layers"])
         new_cache = None
 

@@ -119,14 +119,18 @@ def _layer_forward(
     causal = not cfg.prefix_lm  # prefix visibility folded into bias below
 
     if layer_cache is not None:
-        k_cache, v_cache = layer_cache
+        # full stacked cache carried through the scan, updated in place at
+        # [idx] (see llama.py: the xs->ys form defeated donation aliasing)
+        k_all, v_all, idx = layer_cache
         b_idx = jnp.arange(B)[:, None]
-        k_cache = k_cache.at[b_idx, positions].set(
-            k.astype(k_cache.dtype), mode="drop"
+        k_all = k_all.at[idx, b_idx, positions].set(
+            k.astype(k_all.dtype), mode="drop"
         )
-        v_cache = v_cache.at[b_idx, positions].set(
-            v.astype(v_cache.dtype), mode="drop"
+        v_all = v_all.at[idx, b_idx, positions].set(
+            v.astype(v_all.dtype), mode="drop"
         )
+        k_cache = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
         attn_out = attention(
             q, k_cache, v_cache,
             causal=True, bias=bias,
@@ -135,7 +139,7 @@ def _layer_forward(
             softmax_scale=cfg.softmax_scale or Dh ** -0.5,
             impl=attn_impl,
         )
-        new_cache = (k_cache, v_cache)
+        new_cache = (k_all, v_all)
     else:
         attn_out = attention(
             q, k, v,
@@ -203,28 +207,31 @@ def decoder_forward(
         extra = jnp.where(same, 0.0, jnp.float32(-1e9))[:, None, :, :]
         bias = extra if bias is None else bias + extra
 
-    def body(carry_h, xs):
-        if cache is not None:
-            lp, k_cache, v_cache = xs
-            h_out, (nk, nv) = _layer_forward(
-                lp, carry_h, bias, segment_ids, positions, cfg,
-                (k_cache, v_cache), new_cache_seg, None, attn_impl,
-            )
-            return h_out, (nk, nv)
-        lp = xs
-        h_out, _ = _layer_forward(
-            lp, carry_h, bias, segment_ids, positions, cfg,
-            None, None, None, attn_impl,
-        )
-        return h_out, None
-
-    if remat:
-        body = jax.checkpoint(body)
-
     if cache is not None:
-        h, (ks, vs) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+        def body(carry, lp):
+            carry_h, k_all, v_all, idx = carry
+            h_out, (k_all, v_all) = _layer_forward(
+                lp, carry_h, bias, segment_ids, positions, cfg,
+                (k_all, v_all, idx), new_cache_seg, None, attn_impl,
+            )
+            return (h_out, k_all, v_all, idx + 1), None
+
+        if remat:
+            body = jax.checkpoint(body)
+        (h, ks, vs, _), _ = jax.lax.scan(
+            body, (h, cache.k, cache.v, jnp.int32(0)), params["layers"]
+        )
         new_cache = KVCache(k=ks, v=vs, seg=new_cache_seg)
     else:
+        def body(carry_h, lp):
+            h_out, _ = _layer_forward(
+                lp, carry_h, bias, segment_ids, positions, cfg,
+                None, None, None, attn_impl,
+            )
+            return h_out, None
+
+        if remat:
+            body = jax.checkpoint(body)
         h, _ = jax.lax.scan(body, h, params["layers"])
         new_cache = None
 

@@ -25,9 +25,11 @@ from llava_plus_tpu.serve.tool_workers.fake_tool_worker import FakeToolWorker
 
 from .test_serving import AppThread
 
-CTRL_PORT = 21911
-LLM_PORT = 21912
-TOOL_PORT = 21913
+from .test_serving import _free_port
+
+CTRL_PORT = _free_port()
+LLM_PORT = _free_port()
+TOOL_PORT = _free_port()
 
 
 class ScriptedToolBackend:

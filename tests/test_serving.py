@@ -21,8 +21,16 @@ from llava_plus_tpu.serve.model_worker import (
 )
 from llava_plus_tpu.serve.protocol import decode_stream, iter_chunks_requests
 
-CTRL_PORT = 21901
-WORKER_PORT = 21902
+def _free_port():
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+CTRL_PORT = _free_port()
+WORKER_PORT = _free_port()
 
 
 class AppThread:
