@@ -62,7 +62,7 @@ def build(model_name: str):
     return cfg, params
 
 
-def run(model_name: str, batch_size: int = 1):
+def run(model_name: str, batch_size: int = 1, kv_int8: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -144,7 +144,9 @@ def run(model_name: str, batch_size: int = 1):
         return toks, token, cache
 
     def make_cache():
-        return llama.KVCache.create(cfg.text, B, CACHE_LEN, jnp.bfloat16)
+        return llama.KVCache.create(
+            cfg.text, B, CACHE_LEN, jnp.int8 if kv_int8 else jnp.bfloat16
+        )
 
     def sync(x):
         # axon (tunneled TPU) does not block in block_until_ready; a value
@@ -189,6 +191,7 @@ def run(model_name: str, batch_size: int = 1):
         "detail": {
             "model": model_name,
             "batch": B,
+            "kv_cache": "int8" if kv_int8 else "bf16",
             "ttft_s": round(ttft, 4),
             "decode_tok_s": round(MAX_NEW_TOKENS / decode_time, 2),
             "prefill_len": PREFILL_LEN,
@@ -207,12 +210,17 @@ def main():
     # time-slices a GPU instead). Fall back through smaller batches, then
     # precision, then model size. int4 is excluded at 7B scale for now: it
     # OOMs the tunneled 16 GB chip (works to ~24 layers + QLoRA training).
-    for model, batch in (("llava-1.5-7b-int8", 8), ("llava-1.5-7b-int8", 4),
-                         ("llava-1.5-7b-int8", 1), ("llava-1.5-7b", 1),
-                         ("llava-1.5-7b-lite", 1), ("tiny", 1)):
+    for model, batch, kv8 in (
+        ("llava-1.5-7b-int8", 16, True), ("llava-1.5-7b-int8", 8, True),
+        ("llava-1.5-7b-int8", 8, False), ("llava-1.5-7b-int8", 4, False),
+        ("llava-1.5-7b-int8", 1, False), ("llava-1.5-7b", 1, False),
+        ("llava-1.5-7b-lite", 1, False), ("tiny", 1, False),
+    ):
+        cmd = [sys.executable, __file__, "--model", model, "--batch", str(batch)]
+        if kv8:
+            cmd.append("--kv-int8")
         proc = subprocess.run(
-            [sys.executable, __file__, "--model", model, "--batch", str(batch)],
-            capture_output=True, text=True, timeout=3600,
+            cmd, capture_output=True, text=True, timeout=3600,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
@@ -232,8 +240,9 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, default=None)
     parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--kv-int8", action="store_true")
     args = parser.parse_args()
     if args.model:
-        print(json.dumps(run(args.model, args.batch)))
+        print(json.dumps(run(args.model, args.batch, args.kv_int8)))
     else:
         main()

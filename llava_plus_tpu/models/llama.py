@@ -37,27 +37,78 @@ class KVCache:
     """Per-layer stacked KV cache.
 
     k, v: [L, B, S, Hkv, Dh]; seg: [B, S] segment ids of written tokens
-    (0 = empty slot). Slot index == token position.
+    (0 = empty slot). Slot index == token position. (A [.., Hkv, S, Dh]
+    layout was tried for the flash-decode kernel and reverted: the extra
+    index dimension made the prefill scatter and the per-layer read
+    transpose cost more than the kernel saved.)
+
+    With ``dtype=jnp.int8`` (``create(..., dtype=jnp.int8)``) the cache is
+    stored quantized with one f32 scale per (layer, slot, token, kv-head)
+    in ``k_scale``/``v_scale`` [L, B, S, Hkv, 1]; the dequant fuses into
+    the decode attention, so int8 dominates the HBM traffic. Halves the
+    cache share of the decode bandwidth bill and doubles how many slots fit.
     """
 
     k: jax.Array
     v: jax.Array
     seg: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @classmethod
     def create(
         cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
     ) -> "KVCache":
         shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        quantized = dtype == jnp.int8
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             seg=jnp.zeros((batch, max_len), jnp.int32),
+            k_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32) if quantized else None,
+            v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32) if quantized else None,
         )
 
     @property
     def max_len(self) -> int:
         return self.k.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def _cache_write(all_vals, all_scales, new, idx, b_idx, positions):
+    """Write new [B,T,H,D] values into the stacked [L,B,S,H,D] cache at
+    [idx, b, pos], quantizing per (token, head) when the cache carries
+    scales."""
+    if all_scales is None:
+        return all_vals.at[idx, b_idx, positions].set(
+            new.astype(all_vals.dtype), mode="drop"
+        ), None
+    nf = new.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(nf), axis=-1, keepdims=True), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(nf / scale), -127, 127).astype(jnp.int8)
+    all_vals = all_vals.at[idx, b_idx, positions].set(q, mode="drop")
+    all_scales = all_scales.at[idx, b_idx, positions].set(scale, mode="drop")
+    return all_vals, all_scales
+
+
+def _decode_kernel_ok() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _cache_read(all_vals, all_scales, idx, dtype):
+    """Layer slice [B,S,H,D], dequantized if scales present (the dequant
+    fuses into the decode attention einsum)."""
+    vals = jax.lax.dynamic_index_in_dim(all_vals, idx, 0, keepdims=False)
+    if all_scales is None:
+        return vals
+    scale = jax.lax.dynamic_index_in_dim(all_scales, idx, 0, keepdims=False)
+    return (vals.astype(jnp.float32) * scale).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -173,33 +224,51 @@ def _layer_forward(
     k = apply_rope(k, cos, sin)
 
     if layer_cache is not None:
-        # layer_cache = (k_all [L,B,T,Hkv,Dh], v_all, layer_idx): the FULL
-        # stacked cache rides the scan carry and is updated in place at
-        # [idx, b, pos]. Carrying (vs. emitting per-layer ys) lets XLA alias
-        # the donated input cache — the xs->ys form allocated a fresh
-        # full-cache copy per call (2x2GB temps at 7B/b8) and rewrote every
-        # byte of cache on every decode step.
-        k_all, v_all, idx = layer_cache
+        # layer_cache = (k_all [L,B,T,Hkv,Dh], v_all, k_scale, v_scale,
+        # layer_idx): the FULL stacked cache rides the scan carry and is
+        # updated in place at [idx, b, pos]. Carrying (vs. emitting
+        # per-layer ys) lets XLA alias the donated input cache — the xs->ys
+        # form allocated a fresh full-cache copy per call (2x2GB temps at
+        # 7B/b8) and rewrote every byte of cache on every decode step.
+        # scales present => int8 cache (one scale per token per kv-head).
+        k_all, v_all, ks_all, vs_all, idx = layer_cache
         # Write new k/v at their positions (slot == position); padding rows
         # carry position == max_len and drop out of range.
         b_idx = jnp.arange(B)[:, None]
-        k_all = k_all.at[idx, b_idx, positions].set(
-            k.astype(k_all.dtype), mode="drop"
-        )
-        v_all = v_all.at[idx, b_idx, positions].set(
-            v.astype(v_all.dtype), mode="drop"
-        )
-        k_cache = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
-        v_cache = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
-        attn_out = attention(
-            q, k_cache, v_cache,
-            causal=True,
-            q_segment_ids=segment_ids,
-            kv_segment_ids=cache_seg,
-            q_positions=positions,
-            impl=attn_impl,
-        )
-        new_cache = (k_all, v_all)
+        k_all, ks_all = _cache_write(k_all, ks_all, k, idx, b_idx, positions)
+        v_all, vs_all = _cache_write(v_all, vs_all, v, idx, b_idx, positions)
+        if T == 1 and attn_impl == "pallas_decode" and _decode_kernel_ok():
+            # flash-decode kernel (ops/decode_attention.py) — experimental
+            # opt-in: on v5e the per-(batch, head) matvec grid measures ~2x
+            # slower than XLA's fused batched attention (which also fuses
+            # the int8-cache dequant acceptably); kept for the paged/long-
+            # context path where streaming the cache once will matter.
+            from llava_plus_tpu.ops.decode_attention import decode_attention
+
+            def to_hsd(a):  # [B,S,H,x] -> [B,H,S,x] (kernel layout)
+                return jnp.swapaxes(
+                    jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False),
+                    1, 2,
+                )
+
+            ks = vs = None
+            if ks_all is not None:
+                ks, vs = to_hsd(ks_all), to_hsd(vs_all)
+            attn_out = decode_attention(
+                q, to_hsd(k_all), to_hsd(v_all), cache_seg, ks, vs
+            )
+        else:
+            k_cache = _cache_read(k_all, ks_all, idx, q.dtype)
+            v_cache = _cache_read(v_all, vs_all, idx, q.dtype)
+            attn_out = attention(
+                q, k_cache, v_cache,
+                causal=True,
+                q_segment_ids=segment_ids,
+                kv_segment_ids=cache_seg,
+                q_positions=positions,
+                impl=attn_impl,
+            )
+        new_cache = (k_all, v_all, ks_all, vs_all)
     else:
         attn_out = attention(
             q, k, v,
@@ -250,19 +319,22 @@ def decoder_forward(
 
     if cache is not None:
         def body(carry, lp):
-            carry_h, k_all, v_all, idx = carry
-            h_out, (k_all, v_all) = _layer_forward(
+            carry_h, k_all, v_all, ks_all, vs_all, idx = carry
+            h_out, (k_all, v_all, ks_all, vs_all) = _layer_forward(
                 lp, carry_h, cos, sin, segment_ids, positions, cfg,
-                (k_all, v_all, idx), new_cache_seg, attn_impl,
+                (k_all, v_all, ks_all, vs_all, idx), new_cache_seg, attn_impl,
             )
-            return (h_out, k_all, v_all, idx + 1), None
+            return (h_out, k_all, v_all, ks_all, vs_all, idx + 1), None
 
         if remat:
             body = jax.checkpoint(body)
-        (h, ks, vs, _), _ = jax.lax.scan(
-            body, (h, cache.k, cache.v, jnp.int32(0)), params["layers"]
+        (h, ks, vs, kss, vss, _), _ = jax.lax.scan(
+            body,
+            (h, cache.k, cache.v, cache.k_scale, cache.v_scale, jnp.int32(0)),
+            params["layers"],
         )
-        new_cache = KVCache(k=ks, v=vs, seg=new_cache_seg)
+        new_cache = KVCache(k=ks, v=vs, seg=new_cache_seg,
+                            k_scale=kss, v_scale=vss)
     else:
         def body(carry_h, lp):
             h_out, _ = _layer_forward(

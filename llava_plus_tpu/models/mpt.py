@@ -120,17 +120,16 @@ def _layer_forward(
 
     if layer_cache is not None:
         # full stacked cache carried through the scan, updated in place at
-        # [idx] (see llama.py: the xs->ys form defeated donation aliasing)
-        k_all, v_all, idx = layer_cache
+        # [idx] (see llama.py: the xs->ys form defeated donation aliasing);
+        # scales present => int8 cache
+        from llava_plus_tpu.models.llama import _cache_read, _cache_write
+
+        k_all, v_all, ks_all, vs_all, idx = layer_cache
         b_idx = jnp.arange(B)[:, None]
-        k_all = k_all.at[idx, b_idx, positions].set(
-            k.astype(k_all.dtype), mode="drop"
-        )
-        v_all = v_all.at[idx, b_idx, positions].set(
-            v.astype(v_all.dtype), mode="drop"
-        )
-        k_cache = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
-        v_cache = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
+        k_all, ks_all = _cache_write(k_all, ks_all, k, idx, b_idx, positions)
+        v_all, vs_all = _cache_write(v_all, vs_all, v, idx, b_idx, positions)
+        k_cache = _cache_read(k_all, ks_all, idx, q.dtype)
+        v_cache = _cache_read(v_all, vs_all, idx, q.dtype)
         attn_out = attention(
             q, k_cache, v_cache,
             causal=True, bias=bias,
@@ -139,7 +138,7 @@ def _layer_forward(
             softmax_scale=cfg.softmax_scale or Dh ** -0.5,
             impl=attn_impl,
         )
-        new_cache = (k_all, v_all)
+        new_cache = (k_all, v_all, ks_all, vs_all)
     else:
         attn_out = attention(
             q, k, v,
@@ -209,19 +208,23 @@ def decoder_forward(
 
     if cache is not None:
         def body(carry, lp):
-            carry_h, k_all, v_all, idx = carry
-            h_out, (k_all, v_all) = _layer_forward(
+            carry_h, k_all, v_all, ks_all, vs_all, idx = carry
+            h_out, (k_all, v_all, ks_all, vs_all) = _layer_forward(
                 lp, carry_h, bias, segment_ids, positions, cfg,
-                (k_all, v_all, idx), new_cache_seg, None, attn_impl,
+                (k_all, v_all, ks_all, vs_all, idx), new_cache_seg, None,
+                attn_impl,
             )
-            return (h_out, k_all, v_all, idx + 1), None
+            return (h_out, k_all, v_all, ks_all, vs_all, idx + 1), None
 
         if remat:
             body = jax.checkpoint(body)
-        (h, ks, vs, _), _ = jax.lax.scan(
-            body, (h, cache.k, cache.v, jnp.int32(0)), params["layers"]
+        (h, ks, vs, kss, vss, _), _ = jax.lax.scan(
+            body,
+            (h, cache.k, cache.v, cache.k_scale, cache.v_scale, jnp.int32(0)),
+            params["layers"],
         )
-        new_cache = KVCache(k=ks, v=vs, seg=new_cache_seg)
+        new_cache = KVCache(k=ks, v=vs, seg=new_cache_seg,
+                            k_scale=kss, v_scale=vss)
     else:
         def body(carry_h, lp):
             h_out, _ = _layer_forward(
@@ -279,7 +282,10 @@ def forward(
 
 def create_cache(cfg: MptConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
     shape = (cfg.n_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
+    quantized = dtype == jnp.int8
     return KVCache(
         k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
         seg=jnp.zeros((batch, max_len), jnp.int32),
+        k_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32) if quantized else None,
+        v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32) if quantized else None,
     )

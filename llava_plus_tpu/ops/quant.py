@@ -127,12 +127,17 @@ def matmul(x: jax.Array, w) -> jax.Array:
 
     if Q4KEY in w:
         q, s = w[Q4KEY], w[SKEY]
-        if _on_tpu() and q.ndim == 2:  # per-layer slice [K/2, N]
+        # Kernel for decode-sized row counts (bandwidth-bound); prefill and
+        # training row counts go through the dense XLA path, where the
+        # dequant is a per-layer transient and the matmul is compute-bound.
+        if _on_tpu() and q.ndim == 2 and rows <= 256:
             from llava_plus_tpu.ops import quant_matmul
 
             N = q.shape[-1]
+            rp = max(((rows + 15) // 16) * 16, 16)
             if (quant_matmul._pick_block_n(N)
-                    and quant_matmul._pick_block_k(K)):
+                    and quant_matmul._pick_block_k(
+                        K, cap=min(8192, (2 << 20) // (2 * rp)))):
                 out = quant_matmul.matmul_int4(x.reshape(rows, K), q, s)
                 return out.reshape(*lead, N).astype(x.dtype)
         return x @ dequantize_array(w, x.dtype)

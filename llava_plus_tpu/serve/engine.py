@@ -124,16 +124,21 @@ class BatchedEngine:
         @functools.partial(jax.jit, donate_argnums=(1,))
         def insert(cache, cache1, slot, first_token, tokens):
             # copy the single-request cache into slot `slot` of the pool
+            def upd(pool, single):
+                return jax.lax.dynamic_update_index_in_dim(
+                    pool, single[:, 0], slot, axis=1
+                )
+
             cache = llama.KVCache(
-                k=jax.lax.dynamic_update_index_in_dim(
-                    cache.k, cache1.k[:, 0], slot, axis=1
-                ),
-                v=jax.lax.dynamic_update_index_in_dim(
-                    cache.v, cache1.v[:, 0], slot, axis=1
-                ),
+                k=upd(cache.k, cache1.k),
+                v=upd(cache.v, cache1.v),
                 seg=jax.lax.dynamic_update_index_in_dim(
                     cache.seg, cache1.seg[0], slot, axis=0
                 ),
+                k_scale=(None if cache.k_scale is None
+                         else upd(cache.k_scale, cache1.k_scale)),
+                v_scale=(None if cache.v_scale is None
+                         else upd(cache.v_scale, cache1.v_scale)),
             )
             tokens = jax.lax.dynamic_update_index_in_dim(
                 tokens, first_token, slot, axis=0

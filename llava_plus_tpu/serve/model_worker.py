@@ -74,7 +74,8 @@ class JaxBackend:
     def __init__(self, model_path: str, model_base: Optional[str],
                  model_name: Optional[str], *, load_dtype: str = "bfloat16",
                  use_engine: bool = True, max_slots: int = 8,
-                 quantize: Optional[str] = None, decode_chunk: int = 4):
+                 quantize: Optional[str] = None, decode_chunk: int = 4,
+                 kv_int8: bool = False):
         from llava_plus_tpu.models.builder import load_pretrained_model
 
         (self.tokenizer, params, self.cfg, self.image_processor,
@@ -88,8 +89,11 @@ class JaxBackend:
                 params, self.cfg.language_model_type,
                 bits=4 if quantize == "int4" else 8,
             )
+        import jax.numpy as jnp
+
         from llava_plus_tpu.generate import Generator
 
+        cache_dtype = jnp.int8 if kv_int8 else jnp.bfloat16
         self.engine = None
         if use_engine:
             from llava_plus_tpu.serve.engine import BatchedEngine
@@ -97,11 +101,11 @@ class JaxBackend:
             self.engine = BatchedEngine(
                 params, self.cfg, self.tokenizer,
                 max_slots=max_slots, max_seq_len=self.context_len,
-                decode_chunk=decode_chunk,
+                decode_chunk=decode_chunk, cache_dtype=cache_dtype,
             )
         self.generator = None if use_engine else Generator(
             params, self.cfg, self.tokenizer, self.image_processor,
-            max_seq_len=self.context_len,
+            max_seq_len=self.context_len, cache_dtype=cache_dtype,
         )
         self.is_multimodal = "llava" in (model_name or model_path).lower()
 
@@ -410,6 +414,9 @@ def main():
     parser.add_argument("--decode-chunk", type=int, default=4,
                         help="decode steps per device program (latency "
                              "between stream flushes vs dispatch overhead)")
+    parser.add_argument("--kv-int8", action="store_true",
+                        help="int8 KV cache (per-token/head scales): halves "
+                             "cache bandwidth and doubles slot capacity")
     parser.add_argument("--max-slots", type=int, default=8,
                         help="continuous-batching slot count")
     parser.add_argument("--no-engine", action="store_true",
@@ -429,7 +436,7 @@ def main():
             use_engine=not args.no_engine, max_slots=args.max_slots,
             quantize=("int4" if args.load_4bit else
                       "int8" if args.load_8bit else None),
-            decode_chunk=args.decode_chunk,
+            decode_chunk=args.decode_chunk, kv_int8=args.kv_int8,
         )
         model_names = [name]
 

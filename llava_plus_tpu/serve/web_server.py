@@ -101,7 +101,7 @@ def log_conversation(kind: str, payload: dict):
 
 
 def build_app(controller_addr: str, llava_plus: bool = False,
-              conv_mode: str = "v1"):
+              conv_mode: str = "v1", moderate: bool = False):
     from aiohttp import web
 
     orch = ToolOrchestrator(controller_addr)
@@ -127,6 +127,13 @@ def build_app(controller_addr: str, llava_plus: bool = False,
         import asyncio
 
         data = await request.json()
+        if moderate:
+            from llava_plus_tpu.utils.logging import moderation_msg
+            from llava_plus_tpu.utils.misc import violates_moderation
+
+            if violates_moderation(data.get("text", "")):
+                log_conversation("flagged", {"text": data.get("text", "")})
+                return web.json_response({"error": moderation_msg})
         resp = web.StreamResponse()
         await resp.prepare(request)
         loop = asyncio.get_event_loop()
@@ -216,10 +223,14 @@ def main():
     parser.add_argument("--llava-plus", action="store_true",
                         help="enable the tool-use orchestration loop")
     parser.add_argument("--conv-mode", type=str, default="v1")
+    parser.add_argument("--moderate", action="store_true",
+                        help="gate user input through the OpenAI moderation "
+                             "endpoint (ref gradio_web_server --moderate)")
     args = parser.parse_args()
     logger.info(f"args: {args}")
     web.run_app(
-        build_app(args.controller_url, args.llava_plus, args.conv_mode),
+        build_app(args.controller_url, args.llava_plus, args.conv_mode,
+                  moderate=args.moderate),
         host=args.host, port=args.port,
     )
 

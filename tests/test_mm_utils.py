@@ -135,3 +135,25 @@ def test_reorganize_parity():
             {"from": "gpt", "actions": []},
         ]
     assert reorganize_source_for_tool_use(mk()) == ref.reorganize_source_for_tool_use(mk())
+
+
+def test_misc_serving_utils():
+    from llava_plus_tpu.utils.misc import (
+        detect_language, is_partial_stop, parse_gradio_auth_creds,
+        violates_moderation,
+    )
+
+    assert is_partial_stop("hello </", "</s>")
+    assert is_partial_stop("hello <", "</s>")
+    assert not is_partial_stop("hello!", "</s>")
+    assert detect_language("这是中文") == "zh"
+    assert detect_language("plain english") == "en"
+    # no API key in CI -> moderation fails open
+    assert violates_moderation("anything") is False
+
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write("alice:secret\n\nbob:hunter2\n")
+        name = f.name
+    assert parse_gradio_auth_creds(name) == [("alice", "secret"), ("bob", "hunter2")]

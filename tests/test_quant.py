@@ -180,3 +180,44 @@ def test_pallas_int4_kernel_matches_dense():
                       block_k=128, block_n=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_int8_kv_cache_tracks_bf16_cache():
+    """Decode through an int8-quantized KV cache stays close to the fp32
+    cache path (per-token per-head scales; dequant fused into attention)."""
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(3, 128, size=(2, 6)))
+    pos = jnp.broadcast_to(jnp.arange(6, dtype=jnp.int32), (2, 6))
+    seg = jnp.ones((2, 6), jnp.int32)
+
+    ref_cache = llama.KVCache.create(cfg, 2, 16, jnp.float32)
+    ref, ref_cache = llama.forward(params, cfg, ids, positions=pos,
+                                   segment_ids=seg, cache=ref_cache,
+                                   attn_impl="xla")
+
+    qcache = llama.KVCache.create(cfg, 2, 16, jnp.int8)
+    assert qcache.quantized
+    got, qcache = llama.forward(params, cfg, ids, positions=pos,
+                                segment_ids=seg, cache=qcache,
+                                attn_impl="xla")
+    assert qcache.k.dtype == jnp.int8
+    # int8 cache: small relative drift only
+    rel = float(jnp.abs(got - ref).max() / (jnp.abs(ref).max() + 1e-9))
+    assert rel < 0.05, rel
+
+    # one decode step stays consistent too
+    tok = jnp.argmax(ref[:, -1:], -1)
+    p1 = jnp.full((2, 1), 6, jnp.int32)
+    s1 = jnp.ones((2, 1), jnp.int32)
+    r1, _ = llama.forward(params, cfg, tok, positions=p1, segment_ids=s1,
+                          cache=ref_cache, attn_impl="xla")
+    g1, _ = llama.forward(params, cfg, tok, positions=p1, segment_ids=s1,
+                          cache=qcache, attn_impl="xla")
+    rel = float(jnp.abs(g1 - r1).max() / (jnp.abs(r1).max() + 1e-9))
+    assert rel < 0.05, rel
