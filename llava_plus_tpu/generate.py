@@ -116,7 +116,18 @@ class Generator:
         cache_dtype=jnp.bfloat16,
         attn_impl: str = "auto",
         donate_cache: bool = True,
+        mesh=None,
     ):
+        if mesh is not None:
+            # Tensor-parallel serving: shard params over the mesh's tp axis
+            # (reusing the training rule table); GSPMD inserts the
+            # all-reduces inside the jitted prefill/decode programs. This is
+            # the realized version of the reference's pretraining_tp stub
+            # (llava_llama.py:46).
+            from llava_plus_tpu.train.step import place_params
+
+            params = place_params(params, mesh, cfg)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -183,12 +194,28 @@ class Generator:
 
     def _make_cache(self, batch_size: int):
         if self.cfg.language_model_type == "mpt":
-            return mpt.create_cache(
+            cache = mpt.create_cache(
                 self.cfg.mpt, batch_size, self.max_seq_len, self.cache_dtype
             )
-        return llama.KVCache.create(
-            self.cfg.text, batch_size, self.max_seq_len, self.cache_dtype
-        )
+        else:
+            cache = llama.KVCache.create(
+                self.cfg.text, batch_size, self.max_seq_len, self.cache_dtype
+            )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            head = NamedSharding(self.mesh, P(None, None, None, "tp", None))
+            rep = NamedSharding(self.mesh, P())
+            cache = llama.KVCache(
+                k=jax.device_put(cache.k, head),
+                v=jax.device_put(cache.v, head),
+                seg=jax.device_put(cache.seg, rep),
+                k_scale=(None if cache.k_scale is None
+                         else jax.device_put(cache.k_scale, head)),
+                v_scale=(None if cache.v_scale is None
+                         else jax.device_put(cache.v_scale, head)),
+            )
+        return cache
 
     def prepare_batch(
         self,

@@ -74,7 +74,13 @@ class BatchedEngine:
         cache_dtype=jnp.bfloat16,
         idle_sleep: float = 0.002,
         decode_chunk: int = 4,
+        mesh=None,
     ):
+        if mesh is not None:
+            from llava_plus_tpu.train.step import place_params
+
+            params = place_params(params, mesh, cfg)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -98,14 +104,31 @@ class BatchedEngine:
 
     # ------------------------------------------------------------------
 
-    def _make_cache(self):
+    def _make_cache(self, batch=None):
+        batch = batch or self.max_slots
         if self.cfg.language_model_type == "mpt":
-            return mpt.create_cache(
-                self.cfg.mpt, self.max_slots, self.max_seq_len, self.cache_dtype
+            cache = mpt.create_cache(
+                self.cfg.mpt, batch, self.max_seq_len, self.cache_dtype
             )
-        return llama.KVCache.create(
-            self.cfg.text, self.max_slots, self.max_seq_len, self.cache_dtype
-        )
+        else:
+            cache = llama.KVCache.create(
+                self.cfg.text, batch, self.max_seq_len, self.cache_dtype
+            )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            head = NamedSharding(self.mesh, P(None, None, None, "tp", None))
+            rep = NamedSharding(self.mesh, P())
+            cache = llama.KVCache(
+                k=jax.device_put(cache.k, head),
+                v=jax.device_put(cache.v, head),
+                seg=jax.device_put(cache.seg, rep),
+                k_scale=(None if cache.k_scale is None
+                         else jax.device_put(cache.k_scale, head)),
+                v_scale=(None if cache.v_scale is None
+                         else jax.device_put(cache.v_scale, head)),
+            )
+        return cache
 
     def _build_programs(self):
         cfg = self.cfg
@@ -265,15 +288,7 @@ class BatchedEngine:
         )
         prompt_len = int(plan.lengths[0])
 
-        cache1 = (
-            llama.KVCache.create(
-                self.cfg.text, 1, self.max_seq_len, self.cache_dtype
-            )
-            if self.cfg.language_model_type == "llama"
-            else mpt.create_cache(
-                self.cfg.mpt, 1, self.max_seq_len, self.cache_dtype
-            )
-        )
+        cache1 = self._make_cache(batch=1)
         last_logits, cache1 = self._prefill(self.params, batch, cache1)
         key = jax.random.PRNGKey(req.seed)
         key, sub = jax.random.split(key)

@@ -75,7 +75,7 @@ class JaxBackend:
                  model_name: Optional[str], *, load_dtype: str = "bfloat16",
                  use_engine: bool = True, max_slots: int = 8,
                  quantize: Optional[str] = None, decode_chunk: int = 4,
-                 kv_int8: bool = False):
+                 kv_int8: bool = False, tp: int = 1):
         from llava_plus_tpu.models.builder import load_pretrained_model
 
         (self.tokenizer, params, self.cfg, self.image_processor,
@@ -94,6 +94,11 @@ class JaxBackend:
         from llava_plus_tpu.generate import Generator
 
         cache_dtype = jnp.int8 if kv_int8 else jnp.bfloat16
+        mesh = None
+        if tp > 1:
+            from llava_plus_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(1, 1, tp)
         self.engine = None
         if use_engine:
             from llava_plus_tpu.serve.engine import BatchedEngine
@@ -102,10 +107,12 @@ class JaxBackend:
                 params, self.cfg, self.tokenizer,
                 max_slots=max_slots, max_seq_len=self.context_len,
                 decode_chunk=decode_chunk, cache_dtype=cache_dtype,
+                mesh=mesh,
             )
         self.generator = None if use_engine else Generator(
             params, self.cfg, self.tokenizer, self.image_processor,
             max_seq_len=self.context_len, cache_dtype=cache_dtype,
+            mesh=mesh,
         )
         self.is_multimodal = "llava" in (model_name or model_path).lower()
 
@@ -417,6 +424,9 @@ def main():
     parser.add_argument("--kv-int8", action="store_true",
                         help="int8 KV cache (per-token/head scales): halves "
                              "cache bandwidth and doubles slot capacity")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel serving over N local chips "
+                             "(params + kv heads shard; GSPMD collectives)")
     parser.add_argument("--max-slots", type=int, default=8,
                         help="continuous-batching slot count")
     parser.add_argument("--no-engine", action="store_true",
@@ -437,6 +447,7 @@ def main():
             quantize=("int4" if args.load_4bit else
                       "int8" if args.load_8bit else None),
             decode_chunk=args.decode_chunk, kv_int8=args.kv_int8,
+            tp=args.tp,
         )
         model_names = [name]
 

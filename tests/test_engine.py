@@ -118,3 +118,44 @@ def test_engine_chunk1_matches_chunk4(setup):
             assert got == ref
     finally:
         e1.stop()
+
+
+def test_engine_int8_kv_cache_runs(setup):
+    """Engine with an int8 KV cache serves coherent greedy streams (exact
+    text may differ from bf16 within quantization tolerance)."""
+    engine, gen = setup
+    e8 = BatchedEngine(
+        engine.params, engine.cfg, engine.tokenizer, max_slots=2,
+        max_seq_len=96, prefill_bucket=32, cache_dtype=jnp.int8,
+    )
+    try:
+        out = e8.generate(Request(prompt="hello", max_new_tokens=6,
+                                  temperature=0.0))
+        assert isinstance(out, str) and len(out) > 0
+        ref = engine.generate(Request(prompt="hello", max_new_tokens=6,
+                                      temperature=0.0))
+        # same model, tiny drift budget: most tokens should agree
+        agree = sum(a == b for a, b in zip(out, ref)) / max(len(ref), 1)
+        assert agree > 0.5, (out, ref)
+    finally:
+        e8.stop()
+
+
+def test_engine_tensor_parallel_matches(setup):
+    from llava_plus_tpu.parallel.mesh import make_mesh
+
+    engine, gen = setup
+    mesh = make_mesh(1, 1, 2)
+    etp = BatchedEngine(
+        engine.params, engine.cfg, engine.tokenizer, max_slots=2,
+        max_seq_len=96, prefill_bucket=32, cache_dtype=jnp.float32,
+        mesh=mesh,
+    )
+    try:
+        ref = engine.generate(Request(prompt="hello", max_new_tokens=6,
+                                      temperature=0.0))
+        got = etp.generate(Request(prompt="hello", max_new_tokens=6,
+                                   temperature=0.0))
+        assert got == ref
+    finally:
+        etp.stop()

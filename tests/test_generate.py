@@ -126,3 +126,23 @@ def test_chunked_decode_respects_stop_string(gen):
                        decode_chunk=5)
     assert got.text == ref.text
     assert got.output_ids == ref.output_ids
+
+
+def test_tensor_parallel_generator_matches_single_device():
+    """TP serving: params sharded over an 8-way tp mesh produce the same
+    greedy stream as unsharded (GSPMD inserts the collectives)."""
+    from llava_plus_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_llava_config()
+    params = llava_model.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tok = CharTokenizer()
+    ref_gen = Generator(params, cfg, tok, max_seq_len=96, prefill_bucket=32,
+                        cache_dtype=jnp.float32, attn_impl="xla")
+    ref = ref_gen.generate("hello", max_new_tokens=8, temperature=0.0)
+
+    mesh = make_mesh(1, 1, 2)  # tiny config has 2 kv heads
+    tp_gen = Generator(params, cfg, tok, max_seq_len=96, prefill_bucket=32,
+                       cache_dtype=jnp.float32, attn_impl="xla", mesh=mesh)
+    got = tp_gen.generate("hello", max_new_tokens=8, temperature=0.0)
+    assert got.text == ref.text
+    assert got.output_ids == ref.output_ids
