@@ -140,7 +140,8 @@ class Generator:
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _prefill(params, cache, batch: MultimodalBatch):
             logits, cache = llava_model.forward(
-                params, self.cfg, batch, cache=cache, attn_impl=self.attn_impl
+                params, self.cfg, batch, cache=cache,
+                attn_impl=self.attn_impl, fresh_prefill=True,
             )
             # gather logits at each sequence's last real token
             last = jnp.maximum(jnp.sum(batch.segment_ids, axis=1) - 1, 0)

@@ -209,9 +209,10 @@ def _layer_forward(
     segment_ids: jax.Array,
     positions: jax.Array,
     cfg: LlamaConfig,
-    layer_cache: Optional[Tuple[jax.Array, jax.Array]],
+    layer_cache,
     cache_seg: Optional[jax.Array],
     attn_impl: str,
+    fresh_prefill: bool = False,
 ):
     B, T, D = h.shape
     H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -237,7 +238,19 @@ def _layer_forward(
         b_idx = jnp.arange(B)[:, None]
         k_all, ks_all = _cache_write(k_all, ks_all, k, idx, b_idx, positions)
         v_all, vs_all = _cache_write(v_all, vs_all, v, idx, b_idx, positions)
-        if T == 1 and attn_impl == "pallas_decode" and _decode_kernel_ok():
+        if fresh_prefill and T > 1:
+            # First prefill of a stream: the cache holds nothing but this
+            # chunk, so attention over the local q/k/v is exact — and
+            # flash-eligible (Tq == Tkv, iota positions), unlike the
+            # general cache path whose absolute q_positions force XLA.
+            attn_out = attention(
+                q, k, v,
+                causal=True,
+                q_segment_ids=segment_ids,
+                kv_segment_ids=segment_ids,
+                impl=attn_impl,
+            )
+        elif T == 1 and attn_impl == "pallas_decode" and _decode_kernel_ok():
             # flash-decode kernel (ops/decode_attention.py) — experimental
             # opt-in: on v5e the per-(batch, head) matvec grid measures ~2x
             # slower than XLA's fused batched attention (which also fuses
@@ -300,8 +313,13 @@ def decoder_forward(
     cache: Optional[KVCache] = None,
     attn_impl: str = "auto",
     remat: bool = False,
+    fresh_prefill: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder stack. Returns (hidden_states, updated_cache).
+
+    fresh_prefill=True asserts the cache is empty before this call (every
+    serve-stack prefill): attention then runs over the local chunk
+    (flash-eligible) while k/v still write into the cache.
 
     positions: [B, T] absolute positions (RoPE + cache slots).
     segment_ids: [B, T] (0 = padding; >0 real tokens, distinct ids isolate
@@ -323,6 +341,7 @@ def decoder_forward(
             h_out, (k_all, v_all, ks_all, vs_all) = _layer_forward(
                 lp, carry_h, cos, sin, segment_ids, positions, cfg,
                 (k_all, v_all, ks_all, vs_all, idx), new_cache_seg, attn_impl,
+                fresh_prefill,
             )
             return (h_out, k_all, v_all, ks_all, vs_all, idx + 1), None
 
@@ -378,6 +397,7 @@ def forward(
     cache: Optional[KVCache] = None,
     attn_impl: str = "auto",
     remat: bool = False,
+    fresh_prefill: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Full forward: ids/embeds -> fp32 logits. Convenience wrapper."""
     if inputs_embeds is None:
@@ -391,5 +411,6 @@ def forward(
         params, cfg, inputs_embeds,
         positions=positions, segment_ids=segment_ids,
         cache=cache, attn_impl=attn_impl, remat=remat,
+        fresh_prefill=fresh_prefill,
     )
     return lm_head(params, cfg, h), new_cache

@@ -103,8 +103,12 @@ def forward(
     cache: Optional[llama.KVCache] = None,
     attn_impl: str = "auto",
     remat: bool = False,
+    fresh_prefill: bool = False,
 ) -> Tuple[jax.Array, Optional[llama.KVCache]]:
-    """Full multimodal forward -> (fp32 logits [B, T, V], updated cache)."""
+    """Full multimodal forward -> (fp32 logits [B, T, V], updated cache).
+
+    fresh_prefill=True (first prefill into an empty cache) keeps attention
+    on the local chunk — flash-kernel-eligible — while writing the cache."""
     embeds = fuse(params, cfg, batch)
     if cfg.language_model_type == "llama":
         return llama.forward(
@@ -113,6 +117,7 @@ def forward(
             positions=batch.positions,
             segment_ids=batch.segment_ids,
             cache=cache, attn_impl=attn_impl, remat=remat,
+            fresh_prefill=fresh_prefill,
         )
     from llava_plus_tpu.models import mpt
 

@@ -136,7 +136,7 @@ class BatchedEngine:
         @jax.jit
         def prefill(params, batch: MultimodalBatch, cache1):
             logits, cache1 = llava_model.forward(
-                params, cfg, batch, cache=cache1
+                params, cfg, batch, cache=cache1, fresh_prefill=True
             )
             last = jnp.maximum(jnp.sum(batch.segment_ids, axis=1) - 1, 0)
             last_logits = jnp.take_along_axis(

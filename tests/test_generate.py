@@ -146,3 +146,32 @@ def test_tensor_parallel_generator_matches_single_device():
     got = tp_gen.generate("hello", max_new_tokens=8, temperature=0.0)
     assert got.text == ref.text
     assert got.output_ids == ref.output_ids
+
+
+def test_fresh_prefill_matches_general_cache_path():
+    """fresh_prefill=True (local-chunk attention + cache write) must equal
+    the general cached path on an empty cache."""
+    from llava_plus_tpu.models import llama
+
+    cfg = tiny_llava_config()
+    params = llava_model.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    lm, tcfg = params["language_model"], cfg.text
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, 100, size=(2, 7)))
+    pos = np.broadcast_to(np.arange(7, dtype=np.int32), (2, 7)).copy()
+    seg = np.ones((2, 7), np.int32)
+    seg[1, 5:] = 0   # padded sample: padding positions point at max_len
+    pos[1, 5:] = 16  # (mode="drop" discards the cache write), as the
+    seg = jnp.asarray(seg)  # batch planner emits them
+    pos = jnp.asarray(pos)
+
+    c1 = llama.KVCache.create(tcfg, 2, 16, jnp.float32)
+    ref, c1 = llama.forward(lm, tcfg, ids, positions=pos, segment_ids=seg,
+                            cache=c1, attn_impl="xla")
+    c2 = llama.KVCache.create(tcfg, 2, 16, jnp.float32)
+    got, c2 = llama.forward(lm, tcfg, ids, positions=pos, segment_ids=seg,
+                            cache=c2, attn_impl="xla", fresh_prefill=True)
+    valid = np.asarray(seg).astype(bool)
+    np.testing.assert_allclose(np.asarray(got)[valid], np.asarray(ref)[valid],
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(c2.k), np.asarray(c1.k), atol=1e-6)
