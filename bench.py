@@ -210,12 +210,13 @@ def main():
     # Continuous-batching is the headline serving config: one chip decodes
     # B streams off one weight pass (the reference's concurrency-5 worker
     # time-slices a GPU instead). Fall back through smaller batches, then
-    # precision, then model size. int4 is excluded at 7B scale for now: it
-    # OOMs the tunneled 16 GB chip (works to ~24 layers + QLoRA training).
+    # precision (int4 measures slower than int8 at these shapes: the Pallas
+    # matvec kernel underutilizes the MXU), then model size.
     for model, batch, kv8 in (
         ("llava-1.5-7b-int8", 16, True), ("llava-1.5-7b-int8", 8, True),
-        ("llava-1.5-7b-int8", 8, False), ("llava-1.5-7b-int8", 4, False),
-        ("llava-1.5-7b-int8", 1, False), ("llava-1.5-7b", 1, False),
+        ("llava-1.5-7b-int8", 8, False), ("llava-1.5-7b-int4", 16, True),
+        ("llava-1.5-7b-int8", 4, False), ("llava-1.5-7b-int8", 1, False),
+        ("llava-1.5-7b-int4", 1, False), ("llava-1.5-7b", 1, False),
         ("llava-1.5-7b-lite", 1, False), ("tiny", 1, False),
     ):
         cmd = [sys.executable, __file__, "--model", model, "--batch", str(batch)]

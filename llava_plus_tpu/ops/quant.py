@@ -130,7 +130,11 @@ def matmul(x: jax.Array, w) -> jax.Array:
         # Kernel for decode-sized row counts (bandwidth-bound); prefill and
         # training row counts go through the dense XLA path, where the
         # dequant is a per-layer transient and the matmul is compute-bound.
-        if _on_tpu() and q.ndim == 2 and rows <= 256:
+        # LLAVA_INT4_KERNEL=0 forces the dense path everywhere (perf A/B).
+        import os
+
+        use_kernel = os.environ.get("LLAVA_INT4_KERNEL", "1") != "0"
+        if use_kernel and _on_tpu() and q.ndim == 2 and rows <= 256:
             from llava_plus_tpu.ops import quant_matmul
 
             N = q.shape[-1]
@@ -200,15 +204,33 @@ def quantize_lm_params(lm_params, paths: Sequence = LLAMA_QUANT_PATHS,
         lm_params = copy_dicts(lm_params)
     assert bits in (4, 8), bits
     quantize = quantize_array if bits == 8 else quantize_array_int4
+
+    def materialize(x):
+        # Deferred-execution runtimes (axon tunnel) do NOT block in
+        # block_until_ready; fetching a value is the only reliable barrier.
+        # Without it every quantize program executes lazily at the first
+        # forward, so the full bf16 model + all quantize transients coexist
+        # (OOM at 7B); with it, peak memory is one tensor's transients.
+        jax.device_get(jnp.ravel(x)[0])
+
     for path in paths:
         w = _get(lm_params, path)
         if w is None:
             continue
-        q = quantize(w)
+        if bits == 4 and w.ndim == 3:
+            # chunk stacked [L, K, N] tensors layer-by-layer: the int4
+            # quantizer's fp32 intermediate would otherwise be 4x the
+            # tensor (5.8 GB for a 7B MLP stack)
+            parts = [quantize_array_int4(w[i]) for i in range(w.shape[0])]
+            q = {
+                Q4KEY: jnp.stack([p[Q4KEY] for p in parts]),
+                SKEY: jnp.stack([p[SKEY] for p in parts]),
+            }
+        else:
+            q = quantize(w)
         _set(lm_params, path, q)
         del w
-        # block so the freed buffer is actually released before the next one
-        jax.block_until_ready(q[QKEY if bits == 8 else Q4KEY])
+        materialize(q[QKEY if bits == 8 else Q4KEY])
     return lm_params
 
 
