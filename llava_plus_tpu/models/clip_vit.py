@@ -91,12 +91,18 @@ def _vit_layer(lp, h: jax.Array, cfg: ClipVisionConfig):
     k = (hn @ lp["attn"]["wk"] + lp["attn"]["bk"]).reshape(B, T, H, Dh)
     v = (hn @ lp["attn"]["wv"] + lp["attn"]["bv"]).reshape(B, T, H, Dh)
     # Bidirectional attention; sequence is fixed 577 tokens, no padding.
+    # Operands stay in the compute dtype (bf16 in serving) with fp32 MXU
+    # accumulation — halves vision-tower attention cost vs fp32 operands.
     scale = Dh ** -0.5
     logits = jnp.einsum(
-        "bthd,bshd->bhts", q.astype(jnp.float32) * scale, k.astype(jnp.float32)
+        "bthd,bshd->bhts", q * scale, k,
+        preferred_element_type=jnp.float32,
     )
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32)).astype(h.dtype)
+    out = jnp.einsum(
+        "bhts,bshd->bthd", probs.astype(h.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(h.dtype)
     h = h + out.reshape(B, T, D) @ lp["attn"]["wo"] + lp["attn"]["bo"]
 
     hn = layer_norm(h, lp["ln2"], eps)

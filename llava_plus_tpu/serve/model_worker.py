@@ -293,6 +293,10 @@ class ModelWorker:
             m.get("_tokens_sum", 0) / total_decode if total_decode else 0.0
         )
         m["total_tokens"] = m.pop("_tokens_sum", 0)
+        engine = getattr(self.backend, "engine", None)
+        if engine is not None:
+            m["engine_active_slots"] = engine.num_active
+            m["engine_max_slots"] = engine.max_slots
         return m
 
     # -- data plane ---------------------------------------------------------
