@@ -223,7 +223,7 @@ def main():
         if kv8:
             cmd.append("--kv-int8")
         proc = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=3600,
+            cmd, capture_output=True, text=True, timeout=1800,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
