@@ -1,14 +1,15 @@
-"""Weight-only int8 quantization for serving.
+"""Weight-only int8 / int4 quantization for serving and QLoRA.
 
-Decode at batch 1 is HBM-bandwidth-bound: every step streams the full weight
-set. Symmetric per-output-channel int8 halves the bytes (13.5 GB -> 6.8 GB
-for 7B), and XLA fuses the dequant into the matmul so the int8 tensors are
-what actually crosses HBM. The reference's 8-bit path is bitsandbytes on GPU
-(``llava/model/builder.py:32-41``); this is its TPU-native equivalent.
+Decode is HBM-bandwidth-bound: every step streams the full weight set.
+Symmetric per-output-channel int8 halves the bytes (13.5 GB -> 6.8 GB for
+7B); blockwise int4 (packed nibbles) quarters them. The reference reaches
+8/4-bit through bitsandbytes CUDA kernels (``llava/model/builder.py:32-41``);
+this is the TPU-native equivalent.
 
-A quantized matrix is a dict {"qvalue": int8 [..., in, out],
-"scale": f32 [..., 1, out]}; ``matmul`` dispatches on leaf type so model
-code is unchanged.
+A quantized matrix is a dict — int8: {"qvalue": int8 [..., in, out],
+"scale": f32 [..., 1, out]}; int4: {"qvalue4": int8 [..., in/2, out],
+"scale": f32 [..., in/32, out]} — and ``matmul`` dispatches on leaf type so
+model code is unchanged.
 """
 
 from __future__ import annotations
@@ -112,10 +113,11 @@ def matmul(x: jax.Array, w) -> jax.Array:
     """x @ w for plain or quantized w. Dequant fuses into the matmul: the
     int8/int4 tensor is the HBM-resident operand.
 
-    int8 uses the XLA dense path (`x @ q.astype(bf16)` — XLA streams the
-    int8 and fuses the convert; measured faster than a hand kernel). int4
-    always goes through the Pallas kernel on TPU: the XLA dense path's
-    unpack graph makes the 7B forward program OOM at runtime.
+    int8 uses the XLA dense path everywhere (`x @ q.astype(bf16)` — XLA
+    streams the int8 and fuses the convert; measured faster than a hand
+    kernel at these shapes). int4 uses the Pallas kernel for decode-sized
+    row counts (XLA's unpack graph is ~2x slower there) and the dense path
+    for prefill/training rows, where the matmul is compute-bound.
     """
     if not is_quantized(w):
         return x @ w
