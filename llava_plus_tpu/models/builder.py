@@ -85,10 +85,11 @@ def load_pretrained_model(
 
     image_processor = None
     if is_llava or _has_mm_config(path):
-        d = _read_config(path)
-        image_processor = processor_for_vision_tower(
-            str(d.get("mm_vision_tower", "336"))
-        )
+        # size the processor from the checkpoint's actual vision dims (cfg
+        # came from mm_vision_config when present), not the tower name —
+        # tiny/exported checkpoints are not 224/336
+        size = cfg.vision.image_size
+        image_processor = ClipImageProcessor(shortest_edge=size, crop_size=size)
     context_len = _context_len(path)
     return tokenizer, params, cfg, image_processor, context_len
 
