@@ -261,8 +261,10 @@ class Generator:
         last_logits, cache = self._prefill(self.params, cache, batch)
 
         key = jax.random.PRNGKey(seed)
-        temp = jnp.float32(temperature)
-        tp = jnp.float32(top_p)
+        # reference CLIs pass top_p=None for "disabled" (run_llava.py arg
+        # default); coerce the sentinel values here
+        temp = jnp.float32(temperature if temperature is not None else 0.0)
+        tp = jnp.float32(top_p if top_p is not None else 1.0)
         key, sub = jax.random.split(key)
         token = sample_token(last_logits, sub, temp, tp)[:, None]
 

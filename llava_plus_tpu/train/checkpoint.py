@@ -180,9 +180,7 @@ def export_hf_llava(params, cfg: LlavaConfig, out_dir, tokenizer=None) -> Path:
         sd.update(clip_state_dict_from_params(params["vision_tower"], cfg.vision))
     if params.get("mm_projector"):
         sd.update(projector_state_dict_from_params(params["mm_projector"]))
-    # bf16 -> f32 for safetensors numpy compat
-    sd = {k: np.asarray(v, np.float32) if v.dtype == np.dtype("V2") else v
-          for k, v in sd.items()}
+    sd = {k: np.asarray(v) for k, v in sd.items()}
     save_file(sd, str(out_dir / "model.safetensors"))
 
     hf_cfg = {

@@ -202,16 +202,21 @@ def merge_lora_checkpoint(adapter_dir, base_dir, dtype="bfloat16"):
     base_dir = Path(base_dir)
 
     cfg_d = json.loads((adapter_dir / "config.json").read_text())
-    text_cfg = hf_import.llama_config_from_hf(cfg_d)
+    if "text" in cfg_d and isinstance(cfg_d["text"], dict):
+        # our trainer writes the native nested LlavaConfig next to the
+        # adapter; HF/PEFT checkpoints carry a flat HF config instead
+        cfg = LlavaConfig.load(adapter_dir / "config.json")
+        text_cfg = cfg.text
+    else:
+        text_cfg = hf_import.llama_config_from_hf(cfg_d)
+        cfg = LlavaConfig(
+            text=text_cfg,
+            mm_projector_type=cfg_d.get("mm_projector_type", "linear"),
+            mm_hidden_size=cfg_d.get("mm_hidden_size", 1024),
+            image_aspect_ratio=cfg_d.get("image_aspect_ratio", "square"),
+        )
     base_sd = hf_import.load_state_dict_dir(base_dir)
     lm = hf_import.llama_params_from_state_dict(base_sd, text_cfg, dtype=dtype)
-
-    cfg = LlavaConfig(
-        text=text_cfg,
-        mm_projector_type=cfg_d.get("mm_projector_type", "linear"),
-        mm_hidden_size=cfg_d.get("mm_hidden_size", 1024),
-        image_aspect_ratio=cfg_d.get("image_aspect_ratio", "square"),
-    )
 
     lora_np, lora_cfg = load_peft_adapter(adapter_dir, text_cfg.num_hidden_layers)
     lora = jax.tree.map(jnp.asarray, lora_np)

@@ -1,5 +1,12 @@
 """VQAv2 answers -> EvalAI submission JSON (ref scripts/convert_vqav2_for_submission.py)."""
 
+import sys
+from pathlib import Path
+
+# allow running as `python scripts/<name>.py` without installing the package
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
 import argparse
 import json
 import os

@@ -1,6 +1,13 @@
 """Merge a LoRA checkpoint into its base and export HF format
 (ref scripts/merge_lora_weights.py)."""
 
+import sys
+from pathlib import Path
+
+# allow running as `python scripts/<name>.py` without installing the package
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
 import argparse
 
 from llava_plus_tpu.models.builder import load_pretrained_model
