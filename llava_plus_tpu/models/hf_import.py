@@ -40,9 +40,13 @@ def _np(x) -> Array:
 
 
 def _cast(a: Array, dtype) -> np.ndarray:
+    """Host-side dtype cast (ml_dtypes covers bf16). Deliberately avoids a
+    device round trip: checkpoint import must not depend on the accelerator
+    runtime (and the tunneled-TPU lazy runtime returned wrong bytes for
+    per-leaf convert-and-fetch round trips under concurrent lazy programs)."""
     import jax.numpy as jnp
 
-    return np.asarray(jnp.asarray(a).astype(dtype))
+    return np.asarray(a).astype(jnp.dtype(dtype))
 
 
 # ---------------------------------------------------------------------------
