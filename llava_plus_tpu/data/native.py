@@ -19,12 +19,12 @@ _TRIED = False
 
 def _find_lib() -> Optional[Path]:
     here = Path(__file__).resolve()
-    candidates = [
-        here.parents[2] / "native" / "libllava_img.so",
-        Path(os.environ.get("LLAVA_IMG_LIB", "")),
-    ]
+    candidates = [here.parents[2] / "native" / "libllava_img.so"]
+    env = os.environ.get("LLAVA_IMG_LIB")
+    if env:
+        candidates.append(Path(env))
     for c in candidates:
-        if c and c.exists():
+        if c.is_file():
             return c
     return None
 
@@ -37,7 +37,10 @@ def load_library() -> Optional[ctypes.CDLL]:
     path = _find_lib()
     if path is None:
         return None
-    lib = ctypes.CDLL(str(path))
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError:
+        return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.clip_preprocess.argtypes = [
