@@ -9,9 +9,14 @@ prompt), then greedy KV-cache decode. Weights are random (no network egress)
 — identical FLOP/byte profile to the real checkpoint.
 
 vs_baseline: the reference publishes no speed numbers (BASELINE.json
-published={}); the denominator is the north-star's implied A100 reference of
-~40 images+tokens/s/chip for HF LLaVA-1.5-7B fp16 serving (decode-dominated),
-so vs_baseline >= 2.0 meets the >=2x A100 target.
+published={}); the denominator is an ENGINEERING ESTIMATE of ~40
+images+tokens/s/chip for HF LLaVA-1.5-7B fp16 serving on A100 (decode is
+HBM-bound: ~14 GB fp16 weights / ~2 TB/s ~= 140 tok/s theoretical ceiling
+per stream, HF transformers' serial generate() with thread-level concurrency
+lands well below it; no measured/published number exists and this
+environment has no GPU or network egress to produce one). vs_baseline >= 2.0
+nominally meets the >=2x A100 north star, with that caveat. The output
+labels it: detail.baseline = "estimate".
 """
 
 import json
@@ -36,9 +41,11 @@ def build(model_name: str):
         LLAVA_15_7B, LlavaConfig, tiny_llava_config,
     )
 
-    if model_name in ("llava-1.5-7b-int8", "llava-1.5-7b-int4"):
-        cfg = LLAVA_15_7B
-    elif model_name == "llava-1.5-7b":
+    if model_name.startswith("llava-1.5-13b"):
+        from llava_plus_tpu.models.configs import LLAVA_15_13B
+
+        cfg = LLAVA_15_13B
+    elif model_name.startswith("llava-1.5-7b") and model_name != "llava-1.5-7b-lite":
         cfg = LLAVA_15_7B
     elif model_name == "llava-1.5-7b-lite":
         import dataclasses
@@ -192,6 +199,7 @@ def run(model_name: str, batch_size: int = 1, kv_int8: bool = False):
         "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
         "detail": {
             "model": model_name,
+            "baseline": "estimate",  # no published A100 serving number
             "batch": B,
             "kv_cache": "int8" if kv_int8 else "bf16",
             "ttft_s": round(ttft, 4),

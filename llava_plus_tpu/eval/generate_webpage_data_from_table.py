@@ -49,7 +49,8 @@ def main():
     records = []
     for qid, q in questions.items():
         row = {"question_id": qid, "category": q.get("category", ""),
-               "question": q["text"], "answers": {}, "scores": {}}
+               "question": q["text"], "answers": {}, "scores": {},
+               "evaluations": {}}
         records.append(row)
 
     by_qid = {r["question_id"]: r for r in records}
@@ -69,8 +70,13 @@ def main():
             pair = f[len("review_"):-len(".jsonl")]
             for rev in read_jsonl(os.path.join(review_dir, f)):
                 row = by_qid.get(rev["question_id"])
-                if row is not None and "tuple" in rev:
+                if row is None:
+                    continue
+                if "tuple" in rev:
                     row["scores"][pair] = rev["tuple"]
+                commentary = rev.get("content") or rev.get("text")
+                if commentary:
+                    row["evaluations"][pair] = commentary
 
     os.makedirs(os.path.dirname(args.output), exist_ok=True)
     with open(args.output, "w") as f:

@@ -25,6 +25,9 @@ import jax.numpy as jnp
 from llava_plus_tpu.models.configs import LlamaConfig
 from llava_plus_tpu.ops.attention import attention
 from llava_plus_tpu.ops.quant import matmul
+from llava_plus_tpu.parallel.mesh import constrain
+
+_BATCH = ("dp", "fsdp")  # batch dim of activations shards over both
 
 
 # ---------------------------------------------------------------------------
@@ -218,9 +221,15 @@ def _layer_forward(
     H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     hn = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
+    # Head projections land tp-sharded over heads (Megatron layout); the
+    # explicit constraints keep GSPMD from re-deriving a different layout
+    # for the jvp/transpose graphs (involuntary-remat warnings).
     q = matmul(hn, lp["attn"]["wq"]).reshape(B, T, H, Dh)
     k = matmul(hn, lp["attn"]["wk"]).reshape(B, T, Hkv, Dh)
     v = matmul(hn, lp["attn"]["wv"]).reshape(B, T, Hkv, Dh)
+    q = constrain(q, _BATCH, None, "tp", None)
+    k = constrain(k, _BATCH, None, "tp", None)
+    v = constrain(v, _BATCH, None, "tp", None)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -292,14 +301,18 @@ def _layer_forward(
         )
         new_cache = None
 
+    attn_out = constrain(attn_out, _BATCH, None, "tp", None)
     h = h + matmul(attn_out.reshape(B, T, H * Dh), lp["attn"]["wo"])
+    h = constrain(h, _BATCH, None, None)
 
     hn = rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
     gate = jax.nn.silu(
-        matmul(hn, lp["mlp"]["w_gate"]).astype(jnp.float32)
+        constrain(matmul(hn, lp["mlp"]["w_gate"]), _BATCH, None, "tp")
+        .astype(jnp.float32)
     ).astype(hn.dtype)
-    up = matmul(hn, lp["mlp"]["w_up"])
+    up = constrain(matmul(hn, lp["mlp"]["w_up"]), _BATCH, None, "tp")
     h = h + matmul(gate * up, lp["mlp"]["w_down"])
+    h = constrain(h, _BATCH, None, None)
     return h, new_cache
 
 
@@ -325,7 +338,7 @@ def decoder_forward(
     segment_ids: [B, T] (0 = padding; >0 real tokens, distinct ids isolate
     packed sequences).
     """
-    h = inputs_embeds
+    h = constrain(inputs_embeds, _BATCH, None, None)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     new_cache_seg = None
@@ -372,18 +385,21 @@ def decoder_forward(
 
 
 def lm_head(params, cfg: LlamaConfig, hidden: jax.Array) -> jax.Array:
-    """Project hidden states to fp32 logits."""
+    """Project hidden states to fp32 logits (vocab dim tp-sharded)."""
     if cfg.tie_word_embeddings:
-        return jnp.dot(
+        logits = jnp.dot(
             hidden, params["embed_tokens"].T,
             preferred_element_type=jnp.float32,
         )
-    from llava_plus_tpu.ops.quant import is_quantized
+    else:
+        from llava_plus_tpu.ops.quant import is_quantized
 
-    w = params["lm_head"]
-    if is_quantized(w):
-        return matmul(hidden, w).astype(jnp.float32)
-    return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+        w = params["lm_head"]
+        if is_quantized(w):
+            logits = matmul(hidden, w).astype(jnp.float32)
+        else:
+            logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+    return constrain(logits, _BATCH, None, "tp")
 
 
 def forward(

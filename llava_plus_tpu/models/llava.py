@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from llava_plus_tpu.models import clip_vit, llama, projector
 from llava_plus_tpu.models.configs import LlavaConfig
+from llava_plus_tpu.parallel.mesh import constrain
 
 
 @jax.tree_util.register_dataclass
@@ -69,9 +70,12 @@ def encode_images(params, cfg: LlavaConfig, images: jax.Array) -> jax.Array:
     Vision tower is frozen (no-grad in the reference, clip_encoder.py:39);
     gradients are cut with stop_gradient so training never backprops into it.
     """
+    images = constrain(images, ("dp", "fsdp"), None, None, None)
     feats = clip_vit.encode(params["vision_tower"], cfg.vision, images)
     feats = jax.lax.stop_gradient(feats)
-    return projector.apply(params["mm_projector"], cfg.mm_projector_type, feats)
+    feats = constrain(feats, ("dp", "fsdp"), None, None)
+    out = projector.apply(params["mm_projector"], cfg.mm_projector_type, feats)
+    return constrain(out, ("dp", "fsdp"), None, None)
 
 
 def fuse(params, cfg: LlavaConfig, batch: MultimodalBatch) -> jax.Array:
@@ -92,7 +96,9 @@ def fuse(params, cfg: LlavaConfig, batch: MultimodalBatch) -> jax.Array:
 
     b_idx = jnp.arange(B)[:, None]
     # mode="drop": positions >= T (pad images, truncated tails) are discarded.
-    return embeds.at[b_idx, batch.image_pos].set(feats, mode="drop")
+    embeds = constrain(embeds, ("dp", "fsdp"), None, None)
+    fused = embeds.at[b_idx, batch.image_pos].set(feats, mode="drop")
+    return constrain(fused, ("dp", "fsdp"), None, None)
 
 
 def forward(

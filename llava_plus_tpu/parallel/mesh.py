@@ -11,6 +11,8 @@ axes and all parallelism falls out of NamedSharding over it:
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional, Sequence
 
 import jax
@@ -18,6 +20,57 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXES = ("dp", "fsdp", "tp")
+
+# Mesh active for activation-sharding constraints (trace-time state: the
+# constraint ops are baked into the jaxpr while the context is held).
+_ACTIVE_MESH: contextvars.ContextVar[Optional[Mesh]] = contextvars.ContextVar(
+    "llava_active_mesh", default=None
+)
+
+
+@contextlib.contextmanager
+def activate_mesh(mesh: Optional[Mesh]):
+    """Make ``constrain`` calls inside model code bind to this mesh.
+
+    Held around jit *tracing* (the first call of a train step). Without an
+    active mesh every ``constrain`` is a no-op, so single-chip paths and
+    tests are untouched.
+    """
+    token = _ACTIVE_MESH.set(mesh)
+    try:
+        yield mesh
+    finally:
+        _ACTIVE_MESH.reset(token)
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH.get()
+
+
+def constrain(x: jax.Array, *dims) -> jax.Array:
+    """``with_sharding_constraint`` against the active mesh (no-op without
+    one). Each dim is None, an axis name, or a tuple of names; names absent
+    from the mesh are dropped so the same model code runs on any mesh shape.
+
+    Pinning activations at module seams keeps GSPMD from flip-flopping
+    between layouts mid-graph (the "Involuntary full rematerialization"
+    warnings XLA emits when specs disagree across an op).
+    """
+    mesh = _ACTIVE_MESH.get()
+    if mesh is None:
+        return x
+    names = set(mesh.axis_names)
+
+    def fix(d):
+        if d is None:
+            return None
+        if isinstance(d, str):
+            return d if d in names else None
+        kept = tuple(a for a in d if a in names)
+        return kept if kept else None
+
+    spec = P(*(fix(d) for d in dims))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def make_mesh(

@@ -23,7 +23,12 @@ def llama_param_specs(fsdp: str = "fsdp", tp: str = "tp"):
     replicate (tiny).
     """
     return {
-        "embed_tokens": P(tp, fsdp),       # [V, D]
+        # Vocab rows shard over fsdp+tp, D replicated: the token gather then
+        # partitions as masked-lookup + psum over the vocab axis with
+        # batch-sharded output — no resharding against the decoder's
+        # batch-sharded activation layout (and its transpose scatter-add
+        # keeps the same layout).
+        "embed_tokens": P((fsdp, tp), None),  # [V, D]
         "final_norm": P(None),             # [D]
         "lm_head": P(fsdp, tp),            # [D, V]
         "layers": {

@@ -39,21 +39,32 @@ def make_train_step(
     *,
     attn_impl: str = "auto",
     remat: bool = True,
+    mesh: Optional[Mesh] = None,
 ):
     """Jitted (params, opt_state, batch) -> (params, opt_state, metrics).
 
     Sharding is carried by the input arrays (see :func:`place_params` /
     :func:`place_batch`); jit propagates it and donates the old buffers.
+    Passing ``mesh`` additionally pins activation shardings at the module
+    seams (``parallel.mesh.constrain``) so GSPMD keeps one consistent layout
+    through the jvp/transpose graphs instead of emitting involuntary
+    full-rematerialization reshards.
     """
+    from llava_plus_tpu.parallel.mesh import activate_mesh
 
     def step(params, opt_state, batch: MultimodalBatch):
-        (loss, metrics), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, cfg, batch, attn_impl=attn_impl, remat=remat),
-            has_aux=True,
-        )(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        metrics = dict(metrics, grad_norm=optax.global_norm(grads))
+        # activate_mesh binds at trace time: the constraint ops are baked
+        # into the jaxpr here, not looked up at run time.
+        with activate_mesh(mesh):
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: loss_fn(
+                    p, cfg, batch, attn_impl=attn_impl, remat=remat
+                ),
+                has_aux=True,
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = dict(metrics, grad_norm=optax.global_norm(grads))
         return params, opt_state, metrics
 
     return jax.jit(step, donate_argnums=(0, 1))

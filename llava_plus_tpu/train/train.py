@@ -222,6 +222,7 @@ def train(model_args: ModelArguments, data_args: DataArguments,
 
     step_fn = make_train_step(
         cfg, optimizer, remat=training_args.gradient_checkpointing,
+        mesh=mesh,
     )
     if training_args.lora_enable:
         from llava_plus_tpu.train.lora import apply_lora
