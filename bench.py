@@ -69,7 +69,62 @@ def build(model_name: str):
     return cfg, params
 
 
-def run(model_name: str, batch_size: int = 1, kv_int8: bool = False):
+def measure_loaded_ttft(cfg, params, kv_int8: bool, *, n_background=8,
+                        n_probes=4):
+    """p50 TTFT for a request admitted while ``n_background`` slots are
+    decoding — the honest at-occupancy number the north star asks for
+    (new request's prefill incl. vision encode overlaps a busy engine).
+    Uses the real continuous-batching engine + DebugTokenizer."""
+    import statistics
+
+    import jax.numpy as jnp
+
+    from llava_plus_tpu.data.debug_tokenizer import DebugTokenizer
+    from llava_plus_tpu.serve.engine import BatchedEngine, Request
+
+    rng = np.random.default_rng(0)
+    img_size = cfg.vision.image_size
+    n_text = max(PREFILL_LEN - cfg.num_image_tokens - 8, 8)
+    prompt = "<image>\n" + " ".join(f"word{i}" for i in range(n_text))
+
+    def image():
+        return rng.normal(size=(1, img_size, img_size, 3)).astype(np.float32)
+
+    tok = DebugTokenizer(vocab_size=cfg.text.vocab_size)
+    eng = BatchedEngine(
+        params, cfg, tok,
+        max_slots=n_background + 1, max_seq_len=CACHE_LEN,
+        prefill_bucket=256,
+        cache_dtype=jnp.int8 if kv_int8 else jnp.bfloat16,
+    )
+    try:
+        for _ in range(n_background):
+            eng.submit(Request(
+                prompt=prompt, images=image(), max_new_tokens=200,
+                temperature=1.0, top_p=0.95,
+            ))
+        deadline = time.time() + 600
+        while eng.num_active < n_background and time.time() < deadline:
+            time.sleep(0.05)
+
+        ttfts = []
+        for i in range(n_probes):
+            probe = Request(prompt=prompt, images=image(), max_new_tokens=4)
+            eng.submit(probe)
+            # first streamed chunk == first token emitted at prefill
+            first = probe._chunks.get(timeout=120)
+            assert first is not None
+            ttfts.append(probe.ttft)
+            while probe._chunks.get(timeout=120) is not None:
+                pass
+            time.sleep(0.2)  # let the pool settle back to steady decode
+        return round(statistics.median(ttfts), 4)
+    finally:
+        eng.stop()
+
+
+def run(model_name: str, batch_size: int = 1, kv_int8: bool = False,
+        loaded_ttft: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -192,6 +247,15 @@ def run(model_name: str, batch_size: int = 1, kv_int8: bool = False):
     total_time = ttft + decode_time
     images_plus_tokens = B * (1 + MAX_NEW_TOKENS)
     ips = images_plus_tokens / total_time
+
+    loaded_ttft_s = None
+    if loaded_ttft:
+        del cache2, tok, toks  # free the throughput run before the engine
+        try:
+            loaded_ttft_s = measure_loaded_ttft(cfg, params, kv_int8)
+        except Exception as e:  # measurement is additive; never fail the bench
+            print(f"loaded-ttft measurement failed: {e}", file=sys.stderr)
+
     return {
         "metric": "serving_images_plus_tokens_per_sec_per_chip",
         "value": round(ips, 3),
@@ -203,6 +267,7 @@ def run(model_name: str, batch_size: int = 1, kv_int8: bool = False):
             "batch": B,
             "kv_cache": "int8" if kv_int8 else "bf16",
             "ttft_s": round(ttft, 4),
+            "loaded_ttft_p50_s": loaded_ttft_s,
             "decode_tok_s": round(MAX_NEW_TOKENS / decode_time, 2),
             "prefill_len": PREFILL_LEN,
             "new_tokens": MAX_NEW_TOKENS,
@@ -220,16 +285,23 @@ def main():
     # time-slices a GPU instead). Fall back through smaller batches, then
     # precision (int4 measures slower than int8 at these shapes: the Pallas
     # matvec kernel underutilizes the MXU), then model size.
-    for model, batch, kv8 in (
-        ("llava-1.5-7b-int8", 16, True), ("llava-1.5-7b-int8", 8, True),
-        ("llava-1.5-7b-int8", 8, False), ("llava-1.5-7b-int4", 16, True),
-        ("llava-1.5-7b-int8", 4, False), ("llava-1.5-7b-int8", 1, False),
-        ("llava-1.5-7b-int4", 1, False), ("llava-1.5-7b", 1, False),
-        ("llava-1.5-7b-lite", 1, False), ("tiny", 1, False),
+    for model, batch, kv8, lttft in (
+        ("llava-1.5-7b-int8", 16, True, True),
+        ("llava-1.5-7b-int8", 8, True, True),
+        ("llava-1.5-7b-int8", 8, False, False),
+        ("llava-1.5-7b-int4", 16, True, False),
+        ("llava-1.5-7b-int8", 4, False, False),
+        ("llava-1.5-7b-int8", 1, False, False),
+        ("llava-1.5-7b-int4", 1, False, False),
+        ("llava-1.5-7b", 1, False, False),
+        ("llava-1.5-7b-lite", 1, False, False),
+        ("tiny", 1, False, False),
     ):
         cmd = [sys.executable, __file__, "--model", model, "--batch", str(batch)]
         if kv8:
             cmd.append("--kv-int8")
+        if lttft:
+            cmd.append("--loaded-ttft")
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=1800,
         )
@@ -252,8 +324,10 @@ if __name__ == "__main__":
     parser.add_argument("--model", type=str, default=None)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--kv-int8", action="store_true")
+    parser.add_argument("--loaded-ttft", action="store_true")
     args = parser.parse_args()
     if args.model:
-        print(json.dumps(run(args.model, args.batch, args.kv_int8)))
+        print(json.dumps(run(args.model, args.batch, args.kv_int8,
+                             loaded_ttft=args.loaded_ttft)))
     else:
         main()

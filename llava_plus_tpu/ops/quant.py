@@ -109,6 +109,11 @@ def _on_tpu() -> bool:
         return False
 
 
+LORA_A = "lora_a"
+LORA_B = "lora_b"
+WKEY = "w"
+
+
 def matmul(x: jax.Array, w) -> jax.Array:
     """x @ w for plain or quantized w. Dequant fuses into the matmul: the
     int8/int4 tensor is the HBM-resident operand.
@@ -118,7 +123,23 @@ def matmul(x: jax.Array, w) -> jax.Array:
     kernel at these shapes). int4 uses the Pallas kernel for decode-sized
     row counts (XLA's unpack graph is ~2x slower there) and the dense path
     for prefill/training rows, where the matmul is compute-bound.
+
+    A dict carrying ``lora_a``/``lora_b`` (see train/lora.py lazy attach) is
+    computed as ``x @ base + (x @ a) @ b`` — the QLoRA hot path: the frozen
+    base never materializes in bf16 (the reference's bitsandbytes 4-bit
+    forward has the same property), which is what lets a 7B QLoRA step fit
+    a single 16 GB chip.
     """
+    if isinstance(w, dict) and LORA_A in w:
+        base = {k: v for k, v in w.items() if k not in (LORA_A, LORA_B)}
+        if WKEY in base:
+            base = base[WKEY]
+        y = matmul(x, base)
+        a = w[LORA_A].astype(x.dtype)
+        b = w[LORA_B].astype(x.dtype)  # pre-scaled by alpha/r at attach time
+        xa = jnp.dot(x, a, preferred_element_type=jnp.float32).astype(x.dtype)
+        delta = jnp.dot(xa, b, preferred_element_type=jnp.float32)
+        return y + delta.astype(y.dtype)
     if not is_quantized(w):
         return x @ w
 

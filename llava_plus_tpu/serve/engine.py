@@ -44,12 +44,20 @@ class Request:
     seed: int = 0
 
     # filled by the engine
+    submit_ts: float = 0.0
+    first_token_ts: float = 0.0
     _chunks: "queue.Queue" = dataclasses.field(
         default_factory=queue.Queue, repr=False
     )
     _done: threading.Event = dataclasses.field(
         default_factory=threading.Event, repr=False
     )
+
+    @property
+    def ttft(self) -> Optional[float]:
+        if self.first_token_ts and self.submit_ts:
+            return self.first_token_ts - self.submit_ts
+        return None
 
 
 @dataclasses.dataclass
@@ -59,6 +67,9 @@ class _Slot:
     pos: int = 0
     budget: int = 0
     key: Optional[jax.Array] = None
+    # the prefill already emitted this slot's first token; the next decode
+    # column for it is that same token and must not be emitted twice
+    skip_next_emit: bool = False
 
 
 class BatchedEngine:
@@ -94,6 +105,9 @@ class BatchedEngine:
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._slots = [_Slot() for _ in range(max_slots)]
         self._stop = threading.Event()
+        from collections import deque
+
+        self.ttfts: "deque[float]" = deque(maxlen=512)
 
         self._build_programs()
 
@@ -233,6 +247,7 @@ class BatchedEngine:
     # -- public API ----------------------------------------------------
 
     def submit(self, request: Request) -> Request:
+        request.submit_ts = time.time()
         self._queue.put(request)
         return request
 
@@ -306,33 +321,48 @@ class BatchedEngine:
         slot.budget = min(req.max_new_tokens, self.max_seq_len - prompt_len - 1)
         slot.key = key
 
+        # Emit the prefill's sampled token NOW (this fetch is also the
+        # barrier on the prefill program): the client's TTFT is the prefill
+        # latency, not prefill + the first decode chunk.
+        tid = int(np.asarray(jax.device_get(first)))
+        req.first_token_ts = time.time()
+        if req.submit_ts:
+            self.ttfts.append(req.first_token_ts - req.submit_ts)
+        slot.skip_next_emit = not self._emit_token(slot, tid)
+
+    def _emit_token(self, slot: _Slot, tid: int) -> bool:
+        """Emit one decoded token for a slot (eos/budget/stop semantics,
+        KeywordsStoppingCriteria's decoded-substring matching). Frees the
+        slot and returns True when the request finished."""
+        req = slot.request
+        finished = False
+        if tid == self.tokenizer.eos_token_id or slot.budget <= 0:
+            finished = True
+        else:
+            slot.out_ids.append(tid)
+            slot.budget -= 1
+            text = self.tokenizer.decode(slot.out_ids, skip_special_tokens=True)
+            for stop_s in req.stop_strings:
+                if stop_s and stop_s in text:
+                    text = text.split(stop_s)[0]
+                    finished = True
+            req._chunks.put(text)
+        if finished:
+            req._chunks.put(None)
+            req._done.set()
+            slot.request = None
+        return finished
+
     def _emit_column(self, tokens_host):
         """Host bookkeeping for one decoded column: emit each active slot's
         token, applying eos/budget/stop; free finished slots."""
-        eos = self.tokenizer.eos_token_id
         for i, slot in enumerate(self._slots):
             if slot.request is None:
                 continue
-            tid = int(tokens_host[i])
-            req = slot.request
-            finished = False
-            if tid == eos or slot.budget <= 0:
-                finished = True
-            else:
-                slot.out_ids.append(tid)
-                slot.budget -= 1
-                text = self.tokenizer.decode(
-                    slot.out_ids, skip_special_tokens=True
-                )
-                for stop_s in req.stop_strings:
-                    if stop_s and stop_s in text:
-                        text = text.split(stop_s)[0]
-                        finished = True
-                req._chunks.put(text)
-            if finished:
-                req._chunks.put(None)
-                req._done.set()
-                slot.request = None
+            if slot.skip_next_emit:
+                slot.skip_next_emit = False
+                continue
+            self._emit_token(slot, int(tokens_host[i]))
 
     def _loop(self):
         while not self._stop.is_set():
@@ -344,7 +374,10 @@ class BatchedEngine:
                 time.sleep(self.idle_sleep)
                 continue
 
-            k = self.decode_chunk
+            # Adaptive chunking: with requests waiting to admit, run a short
+            # chunk so the next admission point arrives sooner (loaded TTFT
+            # is prefill + at most one in-flight chunk).
+            k = 1 if not self._queue.empty() else self.decode_chunk
             active = np.zeros((self.max_slots,), bool)
             temps = np.zeros((self.max_slots,), np.float32)
             tops = np.ones((self.max_slots,), np.float32)

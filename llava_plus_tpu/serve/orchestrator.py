@@ -68,6 +68,24 @@ class ToolSession:
     reference_mask: Optional[Any] = None
 
 
+def get_mask_bbox(mask_img: Image.Image) -> Optional[List[float]]:
+    """Bounding box of a sketch mask, normalized to [0,1] and 2-dp rounded
+    (ref gradio_web_server_llava_plus.py:77-97). Returns None for an empty
+    mask. The UI appends it to the prompt as ``Input box: [x0,y0,x1,y1]``."""
+    import numpy as np
+
+    mask = np.array(mask_img)
+    if mask.ndim == 3:
+        mask = mask[..., 0]
+    if mask.sum() == 0:
+        return None
+    coords = np.argwhere(mask > 0)
+    y0, x0 = coords.min(axis=0)
+    y1, x1 = coords.max(axis=0) + 1
+    h, w = mask.shape[:2]
+    return [R(x0 / w), R(y0 / h), R(x1 / w), R(y1 / h)]
+
+
 @dataclasses.dataclass
 class ToolTurnResult:
     text: str
@@ -244,7 +262,7 @@ class ToolOrchestrator:
             timeout=300,
         ).json()
 
-    def run_turn(
+    def stream_turn(
         self,
         conv: Conversation,
         model_name: str,
@@ -252,9 +270,23 @@ class ToolOrchestrator:
         image: Optional[Image.Image] = None,
         session: Optional[ToolSession] = None,
         **gen_params,
-    ) -> ToolTurnResult:
-        """One full user turn: round 1, optional tool dispatch, round 2."""
-        session = session or ToolSession()
+    ):
+        """One full user turn as an event stream (browser streaming — the
+        reference UIs yield partial state per chunk,
+        ref gradio_web_server_llava_plus.py:460-487, 634-659). Yields dicts:
+
+          {"round": 1|2, "text": cumulative}   streamed model text
+          {"prog": round1_text}                raw thoughts/actions ("Prog"
+                                               debug view, ref :286-298)
+          {"status": str}                      tool dispatch progress
+          {"api_name": str, "tool_response": dict}  folded output (transcript
+                                               folding, ref conversation.py
+                                               merge_output :258-371)
+          {"image": b64-png}                   annotated result image
+          {"error": str}                       tool dispatch failure
+          {"final": ToolTurnResult}            always last
+        """
+        session = session if session is not None else ToolSession()
 
         image_b64 = None
         if image is not None:
@@ -271,26 +303,32 @@ class ToolOrchestrator:
             model_name, conv.get_prompt(),
             [image_b64] if image_b64 else None, **gen_params,
         ):
-            pass
+            yield {"round": 1, "text": round1}
         conv.messages[-1][-1] = round1
 
         tool_cfg = parse_tool_cfg(round1)
         if not tool_cfg:
-            return ToolTurnResult(
+            yield {"final": ToolTurnResult(
                 text=round1, round1_text=round1, api_name=None,
                 tool_response=None, annotated_image=None,
-            )
+            )}
+            return
 
+        yield {"prog": round1}
         try:
             api_name, api_paras = prepare_tool_call(tool_cfg, image_b64, session)
+            yield {"status": f"calling {api_name}..."}
             raw_response = self.call_tool(api_name, api_paras)
             folded, artifacts = fold_tool_response(api_name, raw_response, session)
         except Exception as e:
             logger.error(f"tool dispatch failed: {e}")
-            return ToolTurnResult(
+            yield {"error": str(e)}
+            yield {"final": ToolTurnResult(
                 text=round1, round1_text=round1, api_name=None,
                 tool_response=None, annotated_image=None, error=str(e),
-            )
+            )}
+            return
+        yield {"api_name": api_name, "tool_response": folded}
 
         conv.append_message(
             conv.roles[0],
@@ -302,13 +340,37 @@ class ToolOrchestrator:
             model_name, conv.get_prompt(),
             [image_b64] if image_b64 else None, **gen_params,
         ):
-            pass
+            yield {"round": 2, "text": round2}
         conv.messages[-1][-1] = round2
 
         annotated = (
             annotate_result(image, folded, artifacts) if image is not None else None
         )
-        return ToolTurnResult(
+        if annotated is not None:
+            buf = BytesIO()
+            annotated.save(buf, format="PNG")
+            yield {"image": base64.b64encode(buf.getvalue()).decode()}
+        yield {"final": ToolTurnResult(
             text=round2, round1_text=round1, api_name=api_name,
             tool_response=folded, annotated_image=annotated,
-        )
+        )}
+
+    def run_turn(
+        self,
+        conv: Conversation,
+        model_name: str,
+        user_message: str,
+        image: Optional[Image.Image] = None,
+        session: Optional[ToolSession] = None,
+        **gen_params,
+    ) -> ToolTurnResult:
+        """One full user turn: round 1, optional tool dispatch, round 2.
+        Collecting wrapper over :meth:`stream_turn`."""
+        result = None
+        for event in self.stream_turn(
+            conv, model_name, user_message, image=image, session=session,
+            **gen_params,
+        ):
+            if "final" in event:
+                result = event["final"]
+        return result

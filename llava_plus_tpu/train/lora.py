@@ -86,13 +86,20 @@ def init_lora_params(
     return lora
 
 
-def apply_lora(lm_params, lora_params, cfg: LoraConfig):
-    """Materialize effective weights: W + scaling * a @ b (batched over L).
+def apply_lora(lm_params, lora_params, cfg: LoraConfig,
+               materialize: bool = False):
+    """Apply adapters to the base tree.
 
-    When the frozen base weight is int8/int4-quantized (QLoRA — the
-    reference's ``--bits 4`` bitsandbytes path, train.py:814-831), it is
-    dequantized to bf16 inside the compiled step before the delta is added;
-    only the quantized tensors live in HBM between steps.
+    Default (lazy): attach ``lora_a`` / ``lora_b`` (pre-scaled by alpha/r)
+    next to each target weight; ``ops.quant.matmul`` then computes
+    ``x @ W + (x @ a) @ b`` without ever materializing the effective weight.
+    This is the QLoRA hot path — the frozen int4/int8 base stays quantized
+    in HBM (like the reference's bitsandbytes 4-bit forward,
+    ``train.py:814-831``), so 7B QLoRA fits one 16 GB chip.
+
+    ``materialize=True`` builds real merged weights ``W + scaling * a @ b``
+    (dequantizing a quantized base to bf16) — the checkpoint-merge path
+    (the reference's PEFT merge_and_unload).
     """
     from llava_plus_tpu.ops import quant
 
@@ -105,6 +112,12 @@ def apply_lora(lm_params, lora_params, cfg: LoraConfig):
     for joined, ab in lora_params.items():
         path = tuple(joined.split("/"))
         w = _get(out, path)
+        if not materialize:
+            base = dict(w) if quant.is_quantized(w) else {quant.WKEY: w}
+            base[quant.LORA_A] = ab["a"]
+            base[quant.LORA_B] = ab["b"] * cfg.scaling
+            _set(out, path, base)
+            continue
         if quant.is_quantized(w):
             w = quant.dequantize_array(w, jnp.bfloat16)
         delta = jnp.einsum(
@@ -117,7 +130,9 @@ def apply_lora(lm_params, lora_params, cfg: LoraConfig):
 
 def merge_lora_into_base(params, lora_params, cfg: LoraConfig):
     """Permanently merge adapters (the reference's merge_and_unload)."""
-    merged_lm = apply_lora(params["language_model"], lora_params, cfg)
+    merged_lm = apply_lora(
+        params["language_model"], lora_params, cfg, materialize=True
+    )
     return dict(params, language_model=merged_lm)
 
 
@@ -220,7 +235,7 @@ def merge_lora_checkpoint(adapter_dir, base_dir, dtype="bfloat16"):
 
     lora_np, lora_cfg = load_peft_adapter(adapter_dir, text_cfg.num_hidden_layers)
     lora = jax.tree.map(jnp.asarray, lora_np)
-    lm = apply_lora(lm, lora, lora_cfg)
+    lm = apply_lora(lm, lora, lora_cfg, materialize=True)
 
     # non-LoRA trainables: mm_projector (and possibly embed/norm)
     proj = {}
