@@ -167,15 +167,12 @@ def run(model_name: str, batch_size: int = 1, kv_int8: bool = False,
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def prefill(params, cache, batch):
-        logits, cache = llava_model.forward(
-            params, cfg, batch, cache=cache, fresh_prefill=True
-        )
         last = jnp.sum(batch.segment_ids, axis=1) - 1
-        tok = jnp.argmax(
-            jnp.take_along_axis(logits, last[:, None, None], axis=1)[:, 0],
-            axis=-1,
+        logits, cache = llava_model.forward(
+            params, cfg, batch, cache=cache, fresh_prefill=True,
+            logits_positions=last,
         )
-        return tok[:, None], cache
+        return jnp.argmax(logits[:, 0], axis=-1)[:, None], cache
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def decode(params, cache, token, pos):

@@ -139,12 +139,20 @@ class Generator:
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _prefill(params, cache, batch: MultimodalBatch):
+            # logits at each sequence's last real token only (llama skips
+            # the full [B, T, V] lm_head projection)
+            last = jnp.maximum(jnp.sum(batch.segment_ids, axis=1) - 1, 0)
+            if self.cfg.language_model_type == "llama":
+                logits, cache = llava_model.forward(
+                    params, self.cfg, batch, cache=cache,
+                    attn_impl=self.attn_impl, fresh_prefill=True,
+                    logits_positions=last,
+                )
+                return logits[:, 0], cache
             logits, cache = llava_model.forward(
                 params, self.cfg, batch, cache=cache,
                 attn_impl=self.attn_impl, fresh_prefill=True,
             )
-            # gather logits at each sequence's last real token
-            last = jnp.maximum(jnp.sum(batch.segment_ids, axis=1) - 1, 0)
             last_logits = jnp.take_along_axis(
                 logits, last[:, None, None], axis=1
             )[:, 0]

@@ -81,6 +81,103 @@ class KVCache:
         return self.k_scale is not None
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """Paged KV cache: a pool of fixed-size pages + per-slot page tables
+    (the BASELINE north star's "paged-KV continuous-batched decode").
+
+    k, v: [L, Np, Hkv, P, Dh] page pools (page dim P tokens); page_table:
+    [B, max_pages] int32 page ids per serving slot; seg: [B, max_pages*P]
+    dense segment ids by logical position (0 = unwritten). int8 pools carry
+    per-(token, head) scales [L, Np, Hkv, P, 1].
+
+    Unlike the dense :class:`KVCache` (slot = fixed max_len stripe), pool
+    pages are allocated per request for prompt_len + budget, so long
+    contexts (> 2048) and short chats share the same HBM pool densely.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    seg: jax.Array
+    page_table: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
+
+    @classmethod
+    def create(cls, cfg: LlamaConfig, batch: int, *, num_pages: int,
+               max_pages_per_slot: int, page_size: int = 128,
+               dtype=jnp.bfloat16) -> "PagedKVCache":
+        shape = (cfg.num_hidden_layers, num_pages, cfg.num_key_value_heads,
+                 page_size, cfg.head_dim)
+        quantized = dtype == jnp.int8
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            seg=jnp.zeros((batch, max_pages_per_slot * page_size), jnp.int32),
+            page_table=jnp.zeros((batch, max_pages_per_slot), jnp.int32),
+            k_scale=(jnp.zeros(shape[:-1] + (1,), jnp.float32)
+                     if quantized else None),
+            v_scale=(jnp.zeros(shape[:-1] + (1,), jnp.float32)
+                     if quantized else None),
+        )
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def max_len(self) -> int:
+        return self.page_table.shape[1] * self.page_size
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def _paged_scatter(pool, flat_idx, vals):
+    """lax.scatter of vals [N, Hkv, W] into pool [L, Np, Hkv, P, W] at
+    index triples (layer, page, offset). Direct scatter (not jnp .at[]):
+    mixed advanced indexing with a slice between index arrays would
+    transpose the multi-GB pool per layer — lax.scatter handles arbitrary
+    operand dims in place."""
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2),
+        inserted_window_dims=(0, 1, 3),
+        scatter_dims_to_operand_dims=(0, 1, 3),
+    )
+    return jax.lax.scatter(
+        pool, flat_idx, vals.astype(pool.dtype), dnums,
+        indices_are_sorted=False, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+    )
+
+
+def _paged_write(pool, scales, new, idx, pages, offsets, valid):
+    """Write new [B,T,Hkv,D] into the [L,Np,Hkv,P,D] pool at
+    [idx, pages[b,t], :, offsets[b,t]]; invalid entries drop."""
+    B, T, Hkv, D = new.shape
+    npages = pool.shape[1]
+    pages = jnp.where(valid, pages, npages)  # out of range -> dropped
+    flat_idx = jnp.stack(
+        [jnp.broadcast_to(idx, (B, T)), pages, offsets], axis=-1
+    ).reshape(B * T, 3)
+    if scales is None:
+        return _paged_scatter(
+            pool, flat_idx, new.reshape(B * T, Hkv, D)
+        ), None
+    nf = new.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(nf), axis=-1, keepdims=True), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(nf / scale), -127, 127).astype(jnp.int8)
+    pool = _paged_scatter(pool, flat_idx, q.reshape(B * T, Hkv, D))
+    scales = _paged_scatter(scales, flat_idx, scale.reshape(B * T, Hkv, 1))
+    return pool, scales
+
+
 def _cache_write(all_vals, all_scales, new, idx, b_idx, positions):
     """Write new [B,T,H,D] values into the stacked [L,B,S,H,D] cache at
     [idx, b, pos], quantizing per (token, head) when the cache carries
@@ -204,6 +301,48 @@ def embed_tokens(params, input_ids: jax.Array) -> jax.Array:
 # Decoder
 # ---------------------------------------------------------------------------
 
+def _paged_layer_attention(
+    q, k_pool, v_pool, ks_pool, vs_pool, idx, paged_info,
+    segment_ids, positions, attn_impl,
+):
+    """Decode/continuation attention over the paged pool for one layer."""
+    pages, offsets, valid, page_table, lengths, cache_seg = paged_info
+    B, T = q.shape[:2]
+
+    def layer(pool):
+        return (None if pool is None
+                else jax.lax.dynamic_index_in_dim(pool, idx, 0, keepdims=False))
+
+    kp, vp = layer(k_pool), layer(v_pool)
+    ksp, vsp = layer(ks_pool), layer(vs_pool)
+    if T == 1 and _decode_kernel_ok():
+        from llava_plus_tpu.ops.paged_attention import paged_decode_attention
+
+        return paged_decode_attention(
+            q, kp, vp, page_table, lengths, ksp, vsp
+        )
+    # Generic path (CPU tests, multi-token continuation): gather the used
+    # pages into a dense view and run the masked XLA attention.
+    Np, Hkv, P, D = kp.shape
+    maxp = page_table.shape[1]
+
+    def dense(pool, scale):
+        g = pool[page_table]                     # [B, maxp, Hkv, P, D]
+        if scale is not None:
+            g = g.astype(jnp.float32) * scale[page_table]
+        g = g.transpose(0, 1, 3, 2, 4).reshape(B, maxp * P, Hkv, D)
+        return g.astype(q.dtype)
+
+    return attention(
+        q, dense(kp, ksp), dense(vp, vsp),
+        causal=True,
+        q_segment_ids=segment_ids,
+        kv_segment_ids=cache_seg,
+        q_positions=positions,
+        impl="xla",
+    )
+
+
 def _layer_forward(
     lp,
     h: jax.Array,
@@ -216,6 +355,7 @@ def _layer_forward(
     cache_seg: Optional[jax.Array],
     attn_impl: str,
     fresh_prefill: bool = False,
+    paged_info=None,
 ):
     B, T, D = h.shape
     H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -233,7 +373,29 @@ def _layer_forward(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    if layer_cache is not None:
+    if layer_cache is not None and paged_info is not None:
+        # Paged cache: pools [L,Np,Hkv,P,Dh] ride the scan carry; writes
+        # scatter through the page table, reads stream pages (kernel) or
+        # gather (generic path).
+        k_all, v_all, ks_all, vs_all, idx = layer_cache
+        pages, offsets, valid, _, _, _ = paged_info
+        k_all, ks_all = _paged_write(k_all, ks_all, k, idx, pages, offsets, valid)
+        v_all, vs_all = _paged_write(v_all, vs_all, v, idx, pages, offsets, valid)
+        if fresh_prefill and T > 1:
+            attn_out = attention(
+                q, k, v,
+                causal=True,
+                q_segment_ids=segment_ids,
+                kv_segment_ids=segment_ids,
+                impl=attn_impl,
+            )
+        else:
+            attn_out = _paged_layer_attention(
+                q, k_all, v_all, ks_all, vs_all, idx, paged_info,
+                segment_ids, positions, attn_impl,
+            )
+        new_cache = (k_all, v_all, ks_all, vs_all)
+    elif layer_cache is not None:
         # layer_cache = (k_all [L,B,T,Hkv,Dh], v_all, k_scale, v_scale,
         # layer_idx): the FULL stacked cache rides the scan carry and is
         # updated in place at [idx, b, pos]. Carrying (vs. emitting
@@ -342,11 +504,24 @@ def decoder_forward(
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     new_cache_seg = None
+    paged_info = None
     if cache is not None:
         b_idx = jnp.arange(h.shape[0])[:, None]
         new_cache_seg = cache.seg.at[b_idx, positions].set(
             segment_ids, mode="drop"
         )
+        if isinstance(cache, PagedKVCache):
+            P = cache.page_size
+            maxp = cache.page_table.shape[1]
+            pidx = jnp.clip(positions // P, 0, maxp - 1)
+            pages = jnp.take_along_axis(cache.page_table, pidx, axis=1)
+            offsets = positions % P
+            valid = (positions < cache.max_len) & (segment_ids > 0)
+            lengths = jnp.minimum(
+                jnp.max(positions, axis=1) + 1, cache.max_len
+            ).astype(jnp.int32)
+            paged_info = (pages, offsets, valid, cache.page_table, lengths,
+                          new_cache_seg)
 
     if cache is not None:
         def body(carry, lp):
@@ -354,7 +529,7 @@ def decoder_forward(
             h_out, (k_all, v_all, ks_all, vs_all) = _layer_forward(
                 lp, carry_h, cos, sin, segment_ids, positions, cfg,
                 (k_all, v_all, ks_all, vs_all, idx), new_cache_seg, attn_impl,
-                fresh_prefill,
+                fresh_prefill, paged_info,
             )
             return (h_out, k_all, v_all, ks_all, vs_all, idx + 1), None
 
@@ -365,8 +540,14 @@ def decoder_forward(
             (h, cache.k, cache.v, cache.k_scale, cache.v_scale, jnp.int32(0)),
             params["layers"],
         )
-        new_cache = KVCache(k=ks, v=vs, seg=new_cache_seg,
-                            k_scale=kss, v_scale=vss)
+        if isinstance(cache, PagedKVCache):
+            new_cache = PagedKVCache(
+                k=ks, v=vs, seg=new_cache_seg, page_table=cache.page_table,
+                k_scale=kss, v_scale=vss,
+            )
+        else:
+            new_cache = KVCache(k=ks, v=vs, seg=new_cache_seg,
+                                k_scale=kss, v_scale=vss)
     else:
         def body(carry_h, lp):
             h_out, _ = _layer_forward(
@@ -414,8 +595,15 @@ def forward(
     attn_impl: str = "auto",
     remat: bool = False,
     fresh_prefill: bool = False,
+    logits_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
-    """Full forward: ids/embeds -> fp32 logits. Convenience wrapper."""
+    """Full forward: ids/embeds -> fp32 logits. Convenience wrapper.
+
+    ``logits_positions`` [B]: project only these positions through the
+    lm_head (serving prefills need just the last valid token's logits —
+    skipping the [B, T, V] projection saves ~0.5 GB and a T-long matmul
+    at 7B prefill shapes). Returns [B, 1, V] then.
+    """
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, input_ids)
     B, T = inputs_embeds.shape[:2]
@@ -429,4 +617,6 @@ def forward(
         cache=cache, attn_impl=attn_impl, remat=remat,
         fresh_prefill=fresh_prefill,
     )
+    if logits_positions is not None:
+        h = jnp.take_along_axis(h, logits_positions[:, None, None], axis=1)
     return lm_head(params, cfg, h), new_cache

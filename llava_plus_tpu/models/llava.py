@@ -110,11 +110,14 @@ def forward(
     attn_impl: str = "auto",
     remat: bool = False,
     fresh_prefill: bool = False,
+    logits_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[llama.KVCache]]:
     """Full multimodal forward -> (fp32 logits [B, T, V], updated cache).
 
     fresh_prefill=True (first prefill into an empty cache) keeps attention
-    on the local chunk — flash-kernel-eligible — while writing the cache."""
+    on the local chunk — flash-kernel-eligible — while writing the cache.
+    logits_positions [B] restricts the lm_head to those positions
+    (llama only; serving prefill)."""
     embeds = fuse(params, cfg, batch)
     if cfg.language_model_type == "llama":
         return llama.forward(
@@ -124,6 +127,7 @@ def forward(
             segment_ids=batch.segment_ids,
             cache=cache, attn_impl=attn_impl, remat=remat,
             fresh_prefill=fresh_prefill,
+            logits_positions=logits_positions,
         )
     from llava_plus_tpu.models import mpt
 

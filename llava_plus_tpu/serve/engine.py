@@ -70,6 +70,11 @@ class _Slot:
     # the prefill already emitted this slot's first token; the next decode
     # column for it is that same token and must not be emitted twice
     skip_next_emit: bool = False
+    pages: List[int] = dataclasses.field(default_factory=list)
+
+
+class _PoolExhausted(Exception):
+    """Not enough free KV pages to admit; retry after slots finish."""
 
 
 class BatchedEngine:
@@ -86,7 +91,15 @@ class BatchedEngine:
         idle_sleep: float = 0.002,
         decode_chunk: int = 4,
         mesh=None,
+        paged: bool = False,
+        page_size: int = 128,
+        pool_tokens: Optional[int] = None,
     ):
+        """``paged=True`` switches the KV cache to a paged pool: pages are
+        allocated per request for prompt + budget, so long contexts
+        (max_seq_len > 2048) and short chats share one HBM pool densely.
+        ``pool_tokens`` sizes the pool (default: max_slots * max_seq_len,
+        i.e. no overcommit); requests queue when the pool is exhausted."""
         if mesh is not None:
             from llava_plus_tpu.train.step import place_params
 
@@ -101,10 +114,23 @@ class BatchedEngine:
         self.cache_dtype = cache_dtype
         self.idle_sleep = idle_sleep
         self.decode_chunk = max(decode_chunk, 1)
+        self.paged = paged
+        self.page_size = page_size
+        if paged:
+            assert cfg.language_model_type == "llama", \
+                "paged KV cache currently supports the llama decoder"
+            assert max_seq_len % page_size == 0
+            assert prefill_bucket % page_size == 0
+            total = pool_tokens or max_slots * max_seq_len
+            self.num_pages = max(total // page_size, max_seq_len // page_size)
+            self._free_pages = list(range(self.num_pages))
+        else:
+            self.num_pages = 0
 
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._slots = [_Slot() for _ in range(max_slots)]
         self._stop = threading.Event()
+        self._waiting: Optional[Request] = None  # held back: pool exhausted
         from collections import deque
 
         self.ttfts: "deque[float]" = deque(maxlen=512)
@@ -118,15 +144,42 @@ class BatchedEngine:
 
     # ------------------------------------------------------------------
 
-    def _make_cache(self, batch=None):
+    def _make_cache(self, batch=None, seq_len=None):
         batch = batch or self.max_slots
+        seq_len = seq_len or self.max_seq_len
+        if self.paged and batch == self.max_slots:
+            cache = llama.PagedKVCache.create(
+                self.cfg.text, batch,
+                num_pages=self.num_pages,
+                max_pages_per_slot=self.max_seq_len // self.page_size,
+                page_size=self.page_size,
+                dtype=self.cache_dtype,
+            )
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                head = NamedSharding(
+                    self.mesh, P(None, None, "tp", None, None)
+                )
+                rep = NamedSharding(self.mesh, P())
+                cache = llama.PagedKVCache(
+                    k=jax.device_put(cache.k, head),
+                    v=jax.device_put(cache.v, head),
+                    seg=jax.device_put(cache.seg, rep),
+                    page_table=jax.device_put(cache.page_table, rep),
+                    k_scale=(None if cache.k_scale is None
+                             else jax.device_put(cache.k_scale, head)),
+                    v_scale=(None if cache.v_scale is None
+                             else jax.device_put(cache.v_scale, head)),
+                )
+            return cache
         if self.cfg.language_model_type == "mpt":
             cache = mpt.create_cache(
-                self.cfg.mpt, batch, self.max_seq_len, self.cache_dtype
+                self.cfg.mpt, batch, seq_len, self.cache_dtype
             )
         else:
             cache = llama.KVCache.create(
-                self.cfg.text, batch, self.max_seq_len, self.cache_dtype
+                self.cfg.text, batch, seq_len, self.cache_dtype
             )
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -149,16 +202,24 @@ class BatchedEngine:
 
         @jax.jit
         def prefill(params, batch: MultimodalBatch, cache1):
+            last = jnp.maximum(jnp.sum(batch.segment_ids, axis=1) - 1, 0)
+            if cfg.language_model_type == "llama":
+                # lm_head only at the last valid position: skips the
+                # [B, T, V] projection (~0.5 GB + a T-long matmul at 7B)
+                logits, cache1 = llava_model.forward(
+                    params, cfg, batch, cache=cache1, fresh_prefill=True,
+                    logits_positions=last,
+                )
+                return logits[:, 0], cache1
             logits, cache1 = llava_model.forward(
                 params, cfg, batch, cache=cache1, fresh_prefill=True
             )
-            last = jnp.maximum(jnp.sum(batch.segment_ids, axis=1) - 1, 0)
             last_logits = jnp.take_along_axis(
                 logits, last[:, None, None], axis=1
             )[:, 0]
             return last_logits, cache1
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def insert(cache, cache1, slot, first_token, tokens):
             # copy the single-request cache into slot `slot` of the pool
             def upd(pool, single):
@@ -176,6 +237,38 @@ class BatchedEngine:
                          else upd(cache.k_scale, cache1.k_scale)),
                 v_scale=(None if cache.v_scale is None
                          else upd(cache.v_scale, cache1.v_scale)),
+            )
+            tokens = jax.lax.dynamic_update_index_in_dim(
+                tokens, first_token, slot, axis=0
+            )
+            return cache, tokens
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def insert_paged(cache, cache1, slot, pages_vec, first_token, tokens):
+            """Scatter a single-request dense prefill cache (bucket-sized)
+            into the paged pool at this slot's allocated pages."""
+            L, _, S1, Hkv, Dh = cache1.k.shape
+            P = cache.page_size
+            n1 = S1 // P
+
+            def scat(pool, single, trailing):
+                chunks = single[:, 0].reshape(L, n1, P, Hkv, trailing)
+                chunks = chunks.transpose(0, 1, 3, 2, 4)
+                return pool.at[:, pages_vec[:n1]].set(
+                    chunks.astype(pool.dtype)
+                )
+
+            seg_row = jnp.zeros((cache.seg.shape[1],), jnp.int32)
+            seg_row = jax.lax.dynamic_update_slice(seg_row, cache1.seg[0], (0,))
+            cache = llama.PagedKVCache(
+                k=scat(cache.k, cache1.k, Dh),
+                v=scat(cache.v, cache1.v, Dh),
+                seg=cache.seg.at[slot].set(seg_row),
+                page_table=cache.page_table.at[slot].set(pages_vec),
+                k_scale=(None if cache.k_scale is None
+                         else scat(cache.k_scale, cache1.k_scale, 1)),
+                v_scale=(None if cache.v_scale is None
+                         else scat(cache.v_scale, cache1.v_scale, 1)),
             )
             tokens = jax.lax.dynamic_update_index_in_dim(
                 tokens, first_token, slot, axis=0
@@ -241,6 +334,7 @@ class BatchedEngine:
 
         self._prefill = prefill
         self._insert = insert
+        self._insert_paged = insert_paged
         self._decode = decode
         self._decode_n = decode_n
 
@@ -281,14 +375,21 @@ class BatchedEngine:
 
     def _admit(self):
         free = [i for i, s in enumerate(self._slots) if s.request is None]
-        while free and not self._queue.empty():
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                break
+        while free:
+            req = getattr(self, "_waiting", None)
+            self._waiting = None
+            if req is None:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
             slot_id = free.pop(0)
             try:
                 self._prefill_into(slot_id, req)
+            except _PoolExhausted:
+                # hold the request until finished slots release pages
+                self._waiting = req
+                break
             except Exception as e:
                 logger.error(f"prefill failed: {e}")
                 req._chunks.put(None)
@@ -302,8 +403,21 @@ class BatchedEngine:
             max_seq_len=self.max_seq_len, prefill_bucket=self.prefill_bucket,
         )
         prompt_len = int(plan.lengths[0])
+        budget = min(req.max_new_tokens, self.max_seq_len - prompt_len - 1)
 
-        cache1 = self._make_cache(batch=1)
+        pages = []
+        if self.paged:
+            P = self.page_size
+            S1 = int(batch.tokens.shape[1])
+            needed = max(S1 // P, -(-(prompt_len + budget + 1) // P))
+            if len(self._free_pages) < needed:
+                raise _PoolExhausted(needed)
+            pages = [self._free_pages.pop() for _ in range(needed)]
+
+        cache1 = self._make_cache(
+            batch=1,
+            seq_len=int(batch.tokens.shape[1]) if self.paged else None,
+        )
         last_logits, cache1 = self._prefill(self.params, batch, cache1)
         key = jax.random.PRNGKey(req.seed)
         key, sub = jax.random.split(key)
@@ -311,15 +425,26 @@ class BatchedEngine:
             last_logits, sub,
             jnp.float32(req.temperature), jnp.float32(req.top_p),
         )[0]
-        self.cache, self.tokens = self._insert(
-            self.cache, cache1, slot_id, first[None], self.tokens
-        )
+        if self.paged:
+            maxp = self.max_seq_len // self.page_size
+            pages_vec = jnp.asarray(
+                (pages + [0] * maxp)[:maxp], jnp.int32
+            )
+            self.cache, self.tokens = self._insert_paged(
+                self.cache, cache1, slot_id, pages_vec, first[None],
+                self.tokens,
+            )
+        else:
+            self.cache, self.tokens = self._insert(
+                self.cache, cache1, slot_id, first[None], self.tokens
+            )
         slot = self._slots[slot_id]
         slot.request = req
         slot.out_ids = []
         slot.pos = prompt_len
-        slot.budget = min(req.max_new_tokens, self.max_seq_len - prompt_len - 1)
+        slot.budget = budget
         slot.key = key
+        slot.pages = pages
 
         # Emit the prefill's sampled token NOW (this fetch is also the
         # barrier on the prefill program): the client's TTFT is the prefill
@@ -351,6 +476,9 @@ class BatchedEngine:
             req._chunks.put(None)
             req._done.set()
             slot.request = None
+            if slot.pages:
+                self._free_pages.extend(slot.pages)
+                slot.pages = []
         return finished
 
     def _emit_column(self, tokens_host):

@@ -75,7 +75,9 @@ class JaxBackend:
                  model_name: Optional[str], *, load_dtype: str = "bfloat16",
                  use_engine: bool = True, max_slots: int = 8,
                  quantize: Optional[str] = None, decode_chunk: int = 4,
-                 kv_int8: bool = False, tp: int = 1):
+                 kv_int8: bool = False, tp: int = 1,
+                 paged: bool = False, max_seq_len: Optional[int] = None,
+                 pool_tokens: Optional[int] = None):
         from llava_plus_tpu.models.builder import load_pretrained_model
 
         (self.tokenizer, params, self.cfg, self.image_processor,
@@ -103,11 +105,15 @@ class JaxBackend:
         if use_engine:
             from llava_plus_tpu.serve.engine import BatchedEngine
 
+            if max_seq_len:
+                # paged pools make contexts beyond the checkpoint's dense
+                # 2048 practical; RoPE extrapolates (quality untested here)
+                self.context_len = max_seq_len
             self.engine = BatchedEngine(
                 params, self.cfg, self.tokenizer,
                 max_slots=max_slots, max_seq_len=self.context_len,
                 decode_chunk=decode_chunk, cache_dtype=cache_dtype,
-                mesh=mesh,
+                mesh=mesh, paged=paged, pool_tokens=pool_tokens,
             )
         self.generator = None if use_engine else Generator(
             params, self.cfg, self.tokenizer, self.image_processor,
@@ -435,6 +441,15 @@ def main():
                         help="continuous-batching slot count")
     parser.add_argument("--no-engine", action="store_true",
                         help="disable continuous batching (single-stream)")
+    parser.add_argument("--paged", action="store_true",
+                        help="paged KV pool: per-request page allocation; "
+                             "enables long contexts + denser slot packing")
+    parser.add_argument("--max-seq-len", type=int, default=None,
+                        help="override context length (paged pools make "
+                             ">2048 practical)")
+    parser.add_argument("--pool-tokens", type=int, default=None,
+                        help="KV pool size in tokens (default "
+                             "max_slots*max_seq_len)")
     args = parser.parse_args()
     logger.info(f"args: {args}")
 
@@ -451,7 +466,8 @@ def main():
             quantize=("int4" if args.load_4bit else
                       "int8" if args.load_8bit else None),
             decode_chunk=args.decode_chunk, kv_int8=args.kv_int8,
-            tp=args.tp,
+            tp=args.tp, paged=args.paged, max_seq_len=args.max_seq_len,
+            pool_tokens=args.pool_tokens,
         )
         model_names = [name]
 

@@ -1,0 +1,78 @@
+"""Microbench the quantized matvec kernels at 7B decode shapes.
+
+Prints effective GB/s (resident quantized bytes / time) for the int4 Pallas
+kernel, the int8 Pallas kernel, and the XLA dense paths, at the decode row
+counts the engine actually uses.
+
+Usage: python tools/bench_int4.py [--rows 16]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def sync(x):
+    return np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[0]))
+
+
+def timeit(fn, *args, iters=30):
+    out = fn(*args)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rows", type=int, default=16)
+    args = p.parse_args()
+
+    from llava_plus_tpu.ops import quant, quant_matmul
+
+    shapes = [(4096, 4096), (4096, 11008), (11008, 4096)]
+    rng = np.random.default_rng(0)
+    R = args.rows
+
+    for K, N in shapes:
+        w = jnp.asarray(rng.normal(size=(K, N)) * 0.02, jnp.float32)
+        x = jnp.asarray(rng.normal(size=(R, K)), jnp.bfloat16)
+        q8 = quant.quantize_array(w)
+        q4 = quant.quantize_array_int4(w)
+
+        b4 = K * N // 2 + (K // 32) * N * 4
+        b8 = K * N + N * 4
+
+        t4 = timeit(jax.jit(
+            lambda x, q, s: quant_matmul.matmul_int4(x, q, s)
+        ), x, q4[quant.Q4KEY], q4[quant.SKEY])
+        t8k = timeit(jax.jit(
+            lambda x, q: quant_matmul.matmul_int8(x, q)
+        ), x, q8[quant.QKEY])
+        t8x = timeit(jax.jit(
+            lambda x, q, s: (x @ q.astype(x.dtype)) * s.reshape(-1).astype(x.dtype)
+        ), x, q8[quant.QKEY], q8[quant.SKEY])
+        t4x = timeit(jax.jit(
+            lambda x, q: x @ quant.dequantize_array(q, x.dtype)
+        ), x, q4)
+
+        print(f"[{K}x{N}] R={R}:"
+              f" int4-kernel {t4*1e3:.2f}ms ({b4/t4/1e9:.0f} GB/s)"
+              f" | int4-xla {t4x*1e3:.2f}ms ({b4/t4x/1e9:.0f} GB/s)"
+              f" | int8-kernel {t8k*1e3:.2f}ms ({b8/t8k/1e9:.0f} GB/s)"
+              f" | int8-xla {t8x*1e3:.2f}ms ({b8/t8x/1e9:.0f} GB/s)")
+
+
+if __name__ == "__main__":
+    main()
