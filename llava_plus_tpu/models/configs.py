@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from pathlib import Path
+from typing import Optional
 from typing import Optional, Tuple
 
 
@@ -66,6 +67,12 @@ class LlamaConfig:
     max_position_embeddings: int = 4096
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
+    # HF `rope_scaling`: {"type": "linear"|"dynamic", "factor": f}. linear
+    # divides positions by `factor`; dynamic is NTK-aware theta rescaling
+    # (applied statically at the scaled context length — cache-friendly,
+    # unlike HF's per-forward recompute which invalidates cached K).
+    rope_scaling_type: Optional[str] = None
+    rope_scaling_factor: float = 1.0
     tie_word_embeddings: bool = False
 
     @property

@@ -132,7 +132,10 @@ def llama_params_from_state_dict(
 
 
 def llama_config_from_hf(d: dict) -> LlamaConfig:
+    rs = d.get("rope_scaling") or {}
     return LlamaConfig(
+        rope_scaling_type=rs.get("type") or rs.get("rope_type"),
+        rope_scaling_factor=rs.get("factor", 1.0),
         vocab_size=d["vocab_size"],
         hidden_size=d["hidden_size"],
         intermediate_size=d["intermediate_size"],

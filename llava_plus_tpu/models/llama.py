@@ -267,15 +267,35 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (normed * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
+                 scaling_type: Optional[str] = None,
+                 scaling_factor: float = 1.0):
     """cos/sin tables for the given positions: [..., head_dim] each.
 
-    Non-interleaved (rotate-half) layout, matching HF llama.
+    Non-interleaved (rotate-half) layout, matching HF llama. ``scaling``
+    follows HF ``rope_scaling`` (transformers LlamaRotaryEmbedding):
+    "linear" divides positions by the factor; "dynamic" rescales theta
+    NTK-style. Unlike HF, dynamic theta is fixed at the scaled target
+    length (factor * max_position) instead of recomputed per forward —
+    per-forward recompute would silently invalidate cached K vectors in a
+    decode cache.
     """
+    pos = positions.astype(jnp.float32)
+    if scaling_type == "linear":
+        pos = pos / scaling_factor
+    elif scaling_type == "dynamic":
+        # NTK-aware: theta' = theta * (factor*L/L - (factor-1))^(d/(d-2))
+        # evaluated at seq_len == factor * max_position (the target length)
+        # -> theta * (2*factor - 1)^(d/(d-2)); matches HF at full length.
+        theta = theta * (2.0 * scaling_factor - 1.0) ** (
+            head_dim / (head_dim - 2)
+        )
+    elif scaling_type is not None:
+        raise ValueError(f"unknown rope_scaling type: {scaling_type}")
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
-    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., Dh/2]
+    freqs = pos[..., None] * inv_freq  # [..., Dh/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
 
@@ -501,7 +521,10 @@ def decoder_forward(
     packed sequences).
     """
     h = constrain(inputs_embeds, _BATCH, None, None)
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta,
+        cfg.rope_scaling_type, cfg.rope_scaling_factor,
+    )
 
     new_cache_seg = None
     paged_info = None

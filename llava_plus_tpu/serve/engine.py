@@ -414,6 +414,14 @@ class BatchedEngine:
                 raise _PoolExhausted(needed)
             pages = [self._free_pages.pop() for _ in range(needed)]
 
+        try:
+            self._prefill_slot(slot_id, req, batch, prompt_len, budget, pages)
+        except Exception:
+            if pages:  # pages popped above must not leak on failure
+                self._free_pages.extend(pages)
+            raise
+
+    def _prefill_slot(self, slot_id, req, batch, prompt_len, budget, pages):
         cache1 = self._make_cache(
             batch=1,
             seq_len=int(batch.tokens.shape[1]) if self.paged else None,

@@ -77,13 +77,24 @@ class JaxBackend:
                  quantize: Optional[str] = None, decode_chunk: int = 4,
                  kv_int8: bool = False, tp: int = 1,
                  paged: bool = False, max_seq_len: Optional[int] = None,
-                 pool_tokens: Optional[int] = None):
+                 pool_tokens: Optional[int] = None,
+                 rope_scaling: Optional[str] = None):
         from llava_plus_tpu.models.builder import load_pretrained_model
 
         (self.tokenizer, params, self.cfg, self.image_processor,
          self.context_len) = load_pretrained_model(
             model_path, model_base, model_name, dtype=load_dtype
         )
+        if rope_scaling:
+            # "dynamic:2.0" / "linear:4.0" — serve an unmodified checkpoint
+            # past its trained context (pairs with --paged --max-seq-len)
+            import dataclasses as _dc
+
+            typ, _, fac = rope_scaling.partition(":")
+            self.cfg = _dc.replace(self.cfg, text=_dc.replace(
+                self.cfg.text, rope_scaling_type=typ,
+                rope_scaling_factor=float(fac or 2.0),
+            ))
         if quantize in ("int8", "int4"):
             from llava_plus_tpu.ops.quant import quantize_llava_params
 
@@ -450,6 +461,9 @@ def main():
     parser.add_argument("--pool-tokens", type=int, default=None,
                         help="KV pool size in tokens (default "
                              "max_slots*max_seq_len)")
+    parser.add_argument("--rope-scaling", type=str, default=None,
+                        help="override rope scaling, e.g. dynamic:2.0 or "
+                             "linear:4.0 (serve past the trained context)")
     args = parser.parse_args()
     logger.info(f"args: {args}")
 
@@ -467,7 +481,7 @@ def main():
                       "int8" if args.load_8bit else None),
             decode_chunk=args.decode_chunk, kv_int8=args.kv_int8,
             tp=args.tp, paged=args.paged, max_seq_len=args.max_seq_len,
-            pool_tokens=args.pool_tokens,
+            pool_tokens=args.pool_tokens, rope_scaling=args.rope_scaling,
         )
         model_names = [name]
 

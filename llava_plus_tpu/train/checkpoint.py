@@ -195,6 +195,9 @@ def export_hf_llava(params, cfg: LlavaConfig, out_dir, tokenizer=None) -> Path:
         "max_position_embeddings": cfg.text.max_position_embeddings,
         "rms_norm_eps": cfg.text.rms_norm_eps,
         "rope_theta": cfg.text.rope_theta,
+        **({"rope_scaling": {"type": cfg.text.rope_scaling_type,
+                             "factor": cfg.text.rope_scaling_factor}}
+           if cfg.text.rope_scaling_type else {}),
         "tie_word_embeddings": cfg.text.tie_word_embeddings,
         "mm_vision_tower": "openai/clip-vit-large-patch14-336"
             if cfg.vision.image_size == 336 else "openai/clip-vit-large-patch14",

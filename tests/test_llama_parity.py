@@ -126,3 +126,51 @@ def test_gqa_head_expansion(hf_model):
     logits, _ = llama.forward(params, cfg, ids, attn_impl="xla")
     assert logits.shape == (1, 12, cfg.vocab_size)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_rope_linear_scaling_matches_hf():
+    """HF rope_scaling {"type": "linear"} logits reproduced (positions
+    beyond max_position_embeddings — the long-context serving path)."""
+    import torch
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaForCausalLM
+
+    torch.manual_seed(1)
+    hf_cfg = HFConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=16, rms_norm_eps=1e-5,
+        attention_bias=False, tie_word_embeddings=False,
+        rope_scaling={"type": "linear", "factor": 2.0},
+    )
+    model = LlamaForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    assert cfg.rope_scaling_type == "linear"
+    assert cfg.rope_scaling_factor == 2.0
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = llama_params_from_state_dict(sd, cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(3)
+    T = 24  # > max_position_embeddings: only correct if scaling is applied
+    ids = rng.integers(0, 128, size=(1, T))
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.numpy()
+    ours, _ = llama.forward(params, cfg, jnp.asarray(ids), attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_rope_dynamic_ntk_static_theta():
+    """dynamic NTK: theta rescaled once at the target length; positions
+    past max_position_embeddings still produce sane (finite, non-degenerate)
+    attention. (HF recomputes theta per forward, which would invalidate a
+    decode cache — we fix theta at the scaled target instead, so exact HF
+    parity only holds at the full target length.)"""
+    from llava_plus_tpu.models.llama import rope_cos_sin
+
+    pos = jnp.arange(32)[None]
+    cos_s, sin_s = rope_cos_sin(pos, 64, 10000.0, "dynamic", 2.0)
+    cos_u, sin_u = rope_cos_sin(pos, 64, 10000.0)
+    assert bool(jnp.isfinite(cos_s).all() and jnp.isfinite(sin_s).all())
+    # scaled frequencies are strictly lower than unscaled ones at the same
+    # position (except freq index 0 where both are 1.0 at pos 0)
+    assert float(jnp.abs(cos_s - cos_u).max()) > 1e-3

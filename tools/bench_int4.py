@@ -24,14 +24,40 @@ def sync(x):
     return np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[0]))
 
 
-def timeit(fn, *args, iters=30):
-    out = fn(*args)
-    sync(out)
+def timeit(fn, x, *ws, iters=100):
+    """Time fn(x, *ws) via lax.scan inside ONE jit: the tunneled runtime
+    adds ~0.4-1 ms fixed overhead per dispatch, so per-call timing measures
+    the tunnel, not the kernel. A scalar dependency chains iterations so
+    XLA can't hoist the loop-invariant matmul."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(x, *ws):
+        def body(carry, _):
+            out = fn(carry, *ws)
+            bump = (out.ravel()[0] * 0.0).astype(carry.dtype)
+            return carry + bump, ()
+
+        final, _ = jax.lax.scan(body, x, None, length=iters)
+        return final
+
+    sync(loop(x, *ws))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / iters
+    sync(loop(x, *ws))
+    total = time.perf_counter() - t0
+
+    @jax.jit
+    def base(x):
+        def body(carry, _):
+            return carry + (carry.ravel()[0] * 0.0), ()
+
+        final, _ = jax.lax.scan(body, x, None, length=iters)
+        return final
+
+    sync(base(x))
+    t0 = time.perf_counter()
+    sync(base(x))
+    return max((total - (time.perf_counter() - t0)) / iters, 1e-9)
 
 
 def main():
