@@ -58,6 +58,13 @@ def build(model_name: str):
     else:
         cfg = tiny_llava_config()
 
+    if (model_name.startswith("llava-1.5-13b")
+            and model_name.endswith(("-int8", "-int4"))):
+        # 13B bf16 init is ~26 GB — OOMs the chip before quantization.
+        # Generate already-quantized random leaves host-side (identical
+        # FLOP/byte profile; values are irrelevant to throughput).
+        bits = 4 if model_name.endswith("-int4") else 8
+        return cfg, _prequantized_params(cfg, bits)
     params = llava_model.init_params(
         cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16
     )
@@ -67,6 +74,54 @@ def build(model_name: str):
         bits = 4 if model_name.endswith("-int4") else 8
         params = quantize_llava_params(params, bits=bits)
     return cfg, params
+
+
+def _prequantized_params(cfg, bits: int):
+    """Random llava params with LM matrices already int8/int4 on the host:
+    peak device memory is the final quantized size, never the bf16 model."""
+    import ml_dtypes
+    import jax
+    import jax.numpy as jnp
+
+    from llava_plus_tpu.models import llava as llava_model
+    from llava_plus_tpu.ops import quant
+
+    rng = np.random.default_rng(0)
+    shapes = jax.eval_shape(
+        lambda k: llava_model.init_params(cfg, k, jnp.bfloat16),
+        jax.random.PRNGKey(0),
+    )
+
+    def host_leaf(sds):
+        a = (rng.standard_normal(sds.shape, np.float32) * 0.02)
+        return jax.device_put(a.astype(ml_dtypes.bfloat16))
+
+    def quantize_host(sds):
+        *lead, K, N = sds.shape
+        if bits == 8:
+            q = rng.integers(-127, 128, size=sds.shape, dtype=np.int8)
+            s = np.full((*lead, 1, N), 0.02 / 127.0, np.float32)
+            return {quant.QKEY: jax.device_put(q),
+                    quant.SKEY: jax.device_put(s)}
+        q = rng.integers(-128, 128, size=(*lead, K // 2, N), dtype=np.int16)
+        q = q.astype(np.int8)
+        s = np.full((*lead, K // quant.INT4_BLOCK, N), 0.02 / 7.0, np.float32)
+        return {quant.Q4KEY: jax.device_put(q),
+                quant.SKEY: jax.device_put(s)}
+
+    qpaths = {tuple(p) for p in quant.LLAMA_QUANT_PATHS}
+
+    def build(tree, path):
+        if isinstance(tree, dict):
+            return {k: build(v, path + (k,)) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(build(v, path + (i,))
+                              for i, v in enumerate(tree))
+        if path in qpaths or path[1:] in qpaths:  # language_model prefix
+            return quantize_host(tree)
+        return host_leaf(tree)
+
+    return build(shapes, ())
 
 
 def measure_loaded_ttft(cfg, params, kv_int8: bool, *, n_background=8,

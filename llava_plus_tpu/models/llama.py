@@ -84,51 +84,50 @@ class KVCache:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PagedKVCache:
-    """Paged KV cache: a pool of fixed-size pages + per-slot page tables
+    """Paged KV cache: one combined page pool + per-slot page tables
     (the BASELINE north star's "paged-KV continuous-batched decode").
 
-    k, v: [L, Np, Hkv, P, Dh] page pools (page dim P tokens); page_table:
-    [B, max_pages] int32 page ids per serving slot; seg: [B, max_pages*P]
-    dense segment ids by logical position (0 = unwritten). int8 pools carry
-    per-(token, head) scales [L, Np, Hkv, P, 1].
+    kv: [L, Np, 2, Hkv, P, Dh] — dim 2 selects K (0) / V (1). One page is
+    a contiguous [2, Hkv, P, Dh] block: the unit the Pallas paged-decode
+    kernel DMAs from HBM (ops/paged_attention.py), carrying BOTH k and v
+    for ALL heads so one async copy serves the whole attention block.
+    page_table: [B, max_pages] int32 per-layer page ids per serving slot
+    (the same id addresses page l*Np + id of the flattened pool in layer
+    l); seg: [B, max_pages*P] dense segment ids by logical position.
+    int8 pools carry per-(token, head) scales kv_scale [L, Np, 2, Hkv, P].
 
     Unlike the dense :class:`KVCache` (slot = fixed max_len stripe), pool
     pages are allocated per request for prompt_len + budget, so long
     contexts (> 2048) and short chats share the same HBM pool densely.
     """
 
-    k: jax.Array
-    v: jax.Array
+    kv: jax.Array
     seg: jax.Array
     page_table: jax.Array
-    k_scale: Optional[jax.Array] = None
-    v_scale: Optional[jax.Array] = None
+    kv_scale: Optional[jax.Array] = None
 
     @classmethod
     def create(cls, cfg: LlamaConfig, batch: int, *, num_pages: int,
                max_pages_per_slot: int, page_size: int = 128,
                dtype=jnp.bfloat16) -> "PagedKVCache":
-        shape = (cfg.num_hidden_layers, num_pages, cfg.num_key_value_heads,
-                 page_size, cfg.head_dim)
+        shape = (cfg.num_hidden_layers, num_pages, 2,
+                 cfg.num_key_value_heads, page_size, cfg.head_dim)
         quantized = dtype == jnp.int8
         return cls(
-            k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
+            kv=jnp.zeros(shape, dtype),
             seg=jnp.zeros((batch, max_pages_per_slot * page_size), jnp.int32),
             page_table=jnp.zeros((batch, max_pages_per_slot), jnp.int32),
-            k_scale=(jnp.zeros(shape[:-1] + (1,), jnp.float32)
-                     if quantized else None),
-            v_scale=(jnp.zeros(shape[:-1] + (1,), jnp.float32)
-                     if quantized else None),
+            kv_scale=(jnp.zeros(shape[:-1], jnp.float32)
+                      if quantized else None),
         )
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[3]
+        return self.kv.shape[4]
 
     @property
     def num_pages(self) -> int:
-        return self.k.shape[1]
+        return self.kv.shape[1]
 
     @property
     def max_len(self) -> int:
@@ -136,45 +135,75 @@ class PagedKVCache:
 
     @property
     def quantized(self) -> bool:
-        return self.k_scale is not None
+        return self.kv_scale is not None
 
 
-def _paged_scatter(pool, flat_idx, vals):
-    """lax.scatter of vals [N, Hkv, W] into pool [L, Np, Hkv, P, W] at
-    index triples (layer, page, offset). Direct scatter (not jnp .at[]):
-    mixed advanced indexing with a slice between index arrays would
-    transpose the multi-GB pool per layer — lax.scatter handles arbitrary
-    operand dims in place."""
+def _paged_scatter(pool, idx4, vals, *, window_dims, operand_dims):
+    """lax.scatter of per-token windows into the paged pool. Direct
+    scatter (not jnp .at[]): mixed advanced indexing with a slice between
+    index arrays would transpose the multi-GB pool per layer — lax.scatter
+    handles arbitrary operand dims in place."""
     dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2),
-        inserted_window_dims=(0, 1, 3),
-        scatter_dims_to_operand_dims=(0, 1, 3),
+        update_window_dims=window_dims,
+        inserted_window_dims=operand_dims,
+        scatter_dims_to_operand_dims=operand_dims,
     )
     return jax.lax.scatter(
-        pool, flat_idx, vals.astype(pool.dtype), dnums,
+        pool, idx4, vals.astype(pool.dtype), dnums,
         indices_are_sorted=False, unique_indices=False,
         mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
     )
 
 
-def _paged_write(pool, scales, new, idx, pages, offsets, valid):
-    """Write new [B,T,Hkv,D] into the [L,Np,Hkv,P,D] pool at
-    [idx, pages[b,t], :, offsets[b,t]]; invalid entries drop."""
-    B, T, Hkv, D = new.shape
+def _paged_write(pool, scales, new_k, new_v, idx, pages, offsets, valid):
+    """Write new_k/new_v [B,T,Hkv,D] into the [L,Np,2,Hkv,P,D] pool at
+    [idx, pages[b,t], kv, :, offsets[b,t]]; invalid entries drop."""
+    B, T, Hkv, D = new_k.shape
     npages = pool.shape[1]
     pages = jnp.where(valid, pages, npages)  # out of range -> dropped
-    flat_idx = jnp.stack(
-        [jnp.broadcast_to(idx, (B, T)), pages, offsets], axis=-1
-    ).reshape(B * T, 3)
-    if scales is None:
+    lay = jnp.broadcast_to(idx, (B, T))
+
+    def idx4(kv_sel):
+        sel = jnp.full((B, T), kv_sel, jnp.int32)
+        return jnp.stack([lay, pages, sel, offsets], axis=-1).reshape(
+            B * T, 4
+        )
+
+    # operand [L, Np, 2, Hkv, P, D]: indices address dims (0,1,2,4),
+    # window (Hkv, D) maps to dims (3, 5)
+    def put(pool, vals, kv_sel):
         return _paged_scatter(
-            pool, flat_idx, new.reshape(B * T, Hkv, D)
-        ), None
-    nf = new.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(nf), axis=-1, keepdims=True), 1e-8) / 127.0
-    q = jnp.clip(jnp.round(nf / scale), -127, 127).astype(jnp.int8)
-    pool = _paged_scatter(pool, flat_idx, q.reshape(B * T, Hkv, D))
-    scales = _paged_scatter(scales, flat_idx, scale.reshape(B * T, Hkv, 1))
+            pool, idx4(kv_sel), vals.reshape(B * T, Hkv, D),
+            window_dims=(1, 2), operand_dims=(0, 1, 2, 4),
+        )
+
+    if scales is None:
+        pool = put(pool, new_k, 0)
+        pool = put(pool, new_v, 1)
+        return pool, None
+
+    def quant(new):
+        nf = new.astype(jnp.float32)
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(nf), axis=-1, keepdims=True), 1e-8
+        ) / 127.0
+        q = jnp.clip(jnp.round(nf / scale), -127, 127).astype(jnp.int8)
+        return q, scale[..., 0]
+
+    qk, sk = quant(new_k)
+    qv, sv = quant(new_v)
+    pool = put(pool, qk, 0)
+    pool = put(pool, qv, 1)
+
+    # scales operand [L, Np, 2, Hkv, P]: window (Hkv,) maps to dim 3
+    def put_s(scales, vals, kv_sel):
+        return _paged_scatter(
+            scales, idx4(kv_sel), vals.reshape(B * T, Hkv),
+            window_dims=(1,), operand_dims=(0, 1, 2, 4),
+        )
+
+    scales = put_s(scales, sk, 0)
+    scales = put_s(scales, sv, 1)
     return pool, scales
 
 
@@ -322,39 +351,33 @@ def embed_tokens(params, input_ids: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _paged_layer_attention(
-    q, k_pool, v_pool, ks_pool, vs_pool, idx, paged_info,
-    segment_ids, positions, attn_impl,
+    q, kv_all, kvs_all, idx, paged_info, segment_ids, positions, attn_impl,
 ):
-    """Decode/continuation attention over the paged pool for one layer."""
+    """Decode/continuation attention over the paged pool for one layer.
+
+    ``kv_all`` is the FULL stacked pool [L, Np, 2, Hkv, P, Dh] (it rides
+    the scan carry); the layer is addressed by offsetting page ids into
+    the flattened [L*Np, ...] view — a [B, maxp] int32 add — instead of
+    slicing a multi-GB array per layer.
+    """
     pages, offsets, valid, page_table, lengths, cache_seg = paged_info
     B, T = q.shape[:2]
-
-    def layer(pool):
-        return (None if pool is None
-                else jax.lax.dynamic_index_in_dim(pool, idx, 0, keepdims=False))
-
-    kp, vp = layer(k_pool), layer(v_pool)
-    ksp, vsp = layer(ks_pool), layer(vs_pool)
+    L, Np = kv_all.shape[:2]
+    flat = kv_all.reshape((L * Np,) + kv_all.shape[2:])
+    flat_s = (None if kvs_all is None
+              else kvs_all.reshape((L * Np,) + kvs_all.shape[2:]))
+    flat_ids = page_table + idx * Np
     if T == 1 and _decode_kernel_ok():
         from llava_plus_tpu.ops.paged_attention import paged_decode_attention
 
-        return paged_decode_attention(
-            q, kp, vp, page_table, lengths, ksp, vsp
-        )
+        return paged_decode_attention(q, flat, flat_ids, lengths, flat_s)
     # Generic path (CPU tests, multi-token continuation): gather the used
     # pages into a dense view and run the masked XLA attention.
-    Np, Hkv, P, D = kp.shape
-    maxp = page_table.shape[1]
+    from llava_plus_tpu.ops.paged_attention import gather_pages
 
-    def dense(pool, scale):
-        g = pool[page_table]                     # [B, maxp, Hkv, P, D]
-        if scale is not None:
-            g = g.astype(jnp.float32) * scale[page_table]
-        g = g.transpose(0, 1, 3, 2, 4).reshape(B, maxp * P, Hkv, D)
-        return g.astype(q.dtype)
-
+    k, v = gather_pages(flat, flat_ids, flat_s)
     return attention(
-        q, dense(kp, ksp), dense(vp, vsp),
+        q, k.astype(q.dtype), v.astype(q.dtype),
         causal=True,
         q_segment_ids=segment_ids,
         kv_segment_ids=cache_seg,
@@ -394,13 +417,14 @@ def _layer_forward(
     k = apply_rope(k, cos, sin)
 
     if layer_cache is not None and paged_info is not None:
-        # Paged cache: pools [L,Np,Hkv,P,Dh] ride the scan carry; writes
-        # scatter through the page table, reads stream pages (kernel) or
-        # gather (generic path).
-        k_all, v_all, ks_all, vs_all, idx = layer_cache
+        # Paged cache: the combined pool [L,Np,2,Hkv,P,Dh] rides the scan
+        # carry; writes scatter through the page table, reads stream pages
+        # (kernel) or gather (generic path).
+        kv_all, kvs_all, idx = layer_cache
         pages, offsets, valid, _, _, _ = paged_info
-        k_all, ks_all = _paged_write(k_all, ks_all, k, idx, pages, offsets, valid)
-        v_all, vs_all = _paged_write(v_all, vs_all, v, idx, pages, offsets, valid)
+        kv_all, kvs_all = _paged_write(
+            kv_all, kvs_all, k, v, idx, pages, offsets, valid
+        )
         if fresh_prefill and T > 1:
             attn_out = attention(
                 q, k, v,
@@ -411,10 +435,10 @@ def _layer_forward(
             )
         else:
             attn_out = _paged_layer_attention(
-                q, k_all, v_all, ks_all, vs_all, idx, paged_info,
+                q, kv_all, kvs_all, idx, paged_info,
                 segment_ids, positions, attn_impl,
             )
-        new_cache = (k_all, v_all, ks_all, vs_all)
+        new_cache = (kv_all, kvs_all)
     elif layer_cache is not None:
         # layer_cache = (k_all [L,B,T,Hkv,Dh], v_all, k_scale, v_scale,
         # layer_idx): the FULL stacked cache rides the scan carry and is
@@ -546,7 +570,28 @@ def decoder_forward(
             paged_info = (pages, offsets, valid, cache.page_table, lengths,
                           new_cache_seg)
 
-    if cache is not None:
+    if isinstance(cache, PagedKVCache):
+        def body(carry, lp):
+            carry_h, kv_all, kvs_all, idx = carry
+            h_out, (kv_all, kvs_all) = _layer_forward(
+                lp, carry_h, cos, sin, segment_ids, positions, cfg,
+                (kv_all, kvs_all, idx), new_cache_seg, attn_impl,
+                fresh_prefill, paged_info,
+            )
+            return (h_out, kv_all, kvs_all, idx + 1), None
+
+        if remat:
+            body = jax.checkpoint(body)
+        (h, kvp, kvsp, _), _ = jax.lax.scan(
+            body,
+            (h, cache.kv, cache.kv_scale, jnp.int32(0)),
+            params["layers"],
+        )
+        new_cache = PagedKVCache(
+            kv=kvp, seg=new_cache_seg, page_table=cache.page_table,
+            kv_scale=kvsp,
+        )
+    elif cache is not None:
         def body(carry, lp):
             carry_h, k_all, v_all, ks_all, vs_all, idx = carry
             h_out, (k_all, v_all, ks_all, vs_all) = _layer_forward(
@@ -563,14 +608,8 @@ def decoder_forward(
             (h, cache.k, cache.v, cache.k_scale, cache.v_scale, jnp.int32(0)),
             params["layers"],
         )
-        if isinstance(cache, PagedKVCache):
-            new_cache = PagedKVCache(
-                k=ks, v=vs, seg=new_cache_seg, page_table=cache.page_table,
-                k_scale=kss, v_scale=vss,
-            )
-        else:
-            new_cache = KVCache(k=ks, v=vs, seg=new_cache_seg,
-                                k_scale=kss, v_scale=vss)
+        new_cache = KVCache(k=ks, v=vs, seg=new_cache_seg,
+                            k_scale=kss, v_scale=vss)
     else:
         def body(carry_h, lp):
             h_out, _ = _layer_forward(

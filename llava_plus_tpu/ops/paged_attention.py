@@ -1,23 +1,32 @@
-"""Pallas TPU paged flash-decode attention.
+"""Pallas TPU paged flash-decode attention (manual-DMA design).
 
 The paged half of the L0 kernel surface (BASELINE north star: "paged-KV
-continuous-batched decode"). The KV cache lives as a pool of fixed-size
-pages [Np, Hkv, P, D]; each serving slot owns a list of page ids
-(``page_table`` [B, max_pages]). This kernel streams exactly the pages a
-slot uses — the page-table indirection happens in the BlockSpec index maps
-(``PrefetchScalarGridSpec`` makes the table available before the body runs),
-so Mosaic's pipeline DMAs the right page while computing the previous one.
+continuous-batched decode"). The KV cache lives in HBM as one combined pool
+``kv_pages [NP, 2, Hkv, P, D]`` (dim 1: 0 = K, 1 = V) and never transits
+VMEM wholesale: the kernel manually DMAs only the pages a slot actually
+uses into a double-buffered VMEM scratch, prefetching the next block's
+pages while computing the current one (the structure production TPU paged
+kernels use — cf. jax.experimental.pallas.ops.tpu.paged_attention and the
+vLLM ragged kernel; ours is decode-specialized and keeps per-(token, head)
+int8 scales, which those kernels lack).
 
-Unused trailing page steps map to the slot's last used page; Mosaic skips
-the re-fetch for a revisited block and ``pl.when`` skips the compute, so the
-cost of a slot is proportional to its own context length, not the pool max.
+Why not BlockSpec indirection with grid (B, Hkv, maxp) (the previous
+design): that grid runs B*Hkv*maxp steps per layer — ~8k mostly-no-op
+steps per layer at 7B MHA shapes, ~0.25 s of pure grid overhead per
+decode step across 32 layers. Here a page block carries ALL heads, so the
+grid is (B, ceil(maxp/ppcb)) — two orders of magnitude fewer steps — and
+trailing blocks past a slot's length are skipped inside the kernel.
 
-Quantized (int8) pools carry per-(token, head) scales [Np, Hkv, P, 1];
-scales fold into the score/probability vectors exactly as in
-ops/decode_attention.py.
+One pool serves every layer: page ids are FLAT (`layer * pages_per_layer +
+page`), so the decoder's scan-over-layers just offsets the page table (a
+[B, maxp] int32 add) instead of slicing a multi-GB pool per layer.
 
-Layouts: q [B, 1, H, D]; pools [Np, Hkv, P, D]; page_table [B, max_pages]
-int32; lengths [B] int32 (tokens used per slot). GQA: G = H // Hkv.
+Layouts
+- q [B, 1, H, D] (decode: one token per slot); GQA G = H // Hkv
+- kv_pages [NP, 2, Hkv, P, D] bf16 or int8; one page = contiguous
+  [2, Hkv, P, D] block (the DMA unit)
+- kv_scale [NP, 2, Hkv, P] f32 when int8 (per-token, per-head scales)
+- page_ids [B, maxp] int32 flat page ids; lengths [B] int32 tokens used
 """
 
 from __future__ import annotations
@@ -39,164 +48,269 @@ def _interpret_default() -> bool:
         return True
 
 
+class _PageBlockCopy:
+    """Async copy of `ppcb` (page-id-indexed) pages into one VMEM buffer."""
+
+    def __init__(self, pool_hbm, scale_hbm, kv_buf, scale_buf, sem,
+                 page_ids, start, ppcb):
+        self._copies = []
+        for i in range(ppcb):
+            pid = page_ids[start + i]
+            self._copies.append(pltpu.make_async_copy(
+                pool_hbm.at[pid], kv_buf.at[i], sem
+            ))
+            if scale_hbm is not None:
+                self._copies.append(pltpu.make_async_copy(
+                    scale_hbm.at[pid], scale_buf.at[i], sem
+                ))
+
+    def start(self):
+        for c in self._copies:
+            c.start()
+
+    def wait(self):
+        for c in self._copies:
+            c.wait()
+
+
 def _kernel(
-    pt_ref, used_ref,                    # scalar prefetch: [B, maxp], [B]
-    q_ref, k_ref, v_ref, ks_ref, vs_ref,  # blocked tensors
-    o_ref,
-    m_s, l_s, acc_s,
-    *, sm_scale: float, quantized: bool, page: int,
+    # scalar prefetch
+    lengths_ref,            # [B]
+    page_ids_ref,           # [B * maxp] flat
+    # inputs
+    q_ref,                  # [1, Hkv, G, D] (block over b)
+    pool_ref,               # [NP, 2, Hkv, P, D] in HBM (ANY)
+    scale_ref,              # [NP, 2, Hkv, P] in HBM (ANY) or dummy
+    # outputs
+    o_ref,                  # [1, Hkv, G, D]
+    # scratch
+    kv_bufs,                # [2, ppcb, 2, Hkv, P, D] VMEM
+    scale_bufs,             # [2, ppcb, 2, Hkv, P] VMEM or None
+    sems,                   # [2] DMA semaphores
+    m_s, l_s, acc_s,        # [Hkv, G, 128], [Hkv, G, 128], [Hkv, G, D]
+    buf_idx_ref,            # [1] SMEM: double-buffer index
+    flag_ref,               # [1] SMEM: first-iteration flag
+    *,
+    sm_scale: float,
+    quantized: bool,
+    ppcb: int,
+    batch: int,
 ):
-    b = pl.program_id(0)
-    pj = pl.program_id(2)
+    b, blk = pl.program_id(0), pl.program_id(1)
+    nblk = pl.num_programs(1)
+    NP, _, Hkv, P, D = pool_ref.shape
+    T = ppcb * P
+    G = q_ref.shape[2]
 
-    @pl.when(pj == 0)
-    def _():
-        m_s[:] = jnp.full_like(m_s, NEG_INF)
-        l_s[:] = jnp.zeros_like(l_s)
-        acc_s[:] = jnp.zeros_like(acc_s)
+    @pl.when((b == 0) & (blk == 0))
+    def _init_smem():
+        buf_idx_ref[0] = 0
+        flag_ref[0] = 1
 
-    used = used_ref[b]  # tokens used by this slot
+    length = lengths_ref[b]
+    blocks_used = jnp.maximum(pl.cdiv(length, T), 1)
 
-    @pl.when(pj * page < used)
-    def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
-        k = k_ref[0, 0].astype(jnp.float32)          # [page, D]
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                             # [G, page]
-        if quantized:
-            scores = scores * ks_ref[0, 0, :, 0][None, :]
-        scores = scores * sm_scale
-        # mask the tail of the last used page
-        tok = pj * page + jax.lax.broadcasted_iota(
-            jnp.int32, (1, page), 1
+    maxp = pl.num_programs(1) * ppcb
+
+    def copy_for(b_, blk_, slot):
+        # page_ids is flat [B * maxp] (2D SMEM rows cannot be sliced)
+        return _PageBlockCopy(
+            pool_ref, scale_ref if quantized else None,
+            kv_bufs.at[slot],
+            scale_bufs.at[slot] if quantized else None,
+            sems.at[slot],
+            page_ids_ref, b_ * maxp + blk_ * ppcb, ppcb,
         )
-        scores = jnp.where(tok < used, scores, NEG_INF)
 
-        m_prev = m_s[:]
-        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+    def next_indices(b_, blk_):
+        # next (b, blk) pair that does real work, for cross-block prefetch
+        last = blk_ + 1 >= jnp.maximum(
+            pl.cdiv(lengths_ref[b_], T), 1
+        )
+        nb = jnp.where(last, b_ + 1, b_)
+        nblk_ = jnp.where(last, 0, blk_ + 1)
+        return nb, nblk_
+
+    @pl.when(blk < blocks_used)
+    def _work():
+        slot = buf_idx_ref[0]
+
+        @pl.when(flag_ref[0] == 1)
+        def _first():
+            # no prior iteration prefetched for us: start our own copy
+            copy_for(b, blk, slot).start()
+            flag_ref[0] = 0
+
+        nb, nblk2 = next_indices(b, blk)
+
+        @pl.when(nb < batch)
+        def _prefetch():
+            nxt = 1 - slot
+            copy_for(nb, nblk2, nxt).start()
+            buf_idx_ref[0] = nxt
+
+        copy_for(b, blk, slot).wait()
+
+        q = q_ref[0].astype(jnp.float32)                    # [Hkv, G, D]
+        # leading-dim moves + trailing merges only: layout-preserving
+        k = kv_bufs[slot, :, 0]                             # [ppcb, Hkv, P, D]
+        v = kv_bufs[slot, :, 1]
+        k = k.transpose(1, 0, 2, 3).reshape(Hkv, T, D).astype(jnp.float32)
+        v = v.transpose(1, 0, 2, 3).reshape(Hkv, T, D).astype(jnp.float32)
+
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # [Hkv, G, T]
+        if quantized:
+            ks = scale_bufs[slot, :, 0].transpose(1, 0, 2).reshape(Hkv, T)
+            scores = scores * ks[:, None, :]
+        scores = scores * sm_scale
+
+        tok = blk * T + jax.lax.broadcasted_iota(jnp.int32, (1, 1, T), 2)
+        scores = jnp.where(tok < length, scores, NEG_INF)
+
+        m_prev = jnp.where(blk == 0, jnp.full_like(m_s, NEG_INF), m_s[...])
+        l_prev = jnp.where(blk == 0, jnp.zeros_like(l_s), l_s[...])
+        m_cur = jnp.max(scores, axis=-1)[..., None]         # [Hkv, G, 1]
+        m_cur = jnp.broadcast_to(m_cur, m_prev.shape)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(scores - m_new)
-        l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        m_s[:] = m_new
-
-        if quantized:
-            p = p * vs_ref[0, 0, :, 0][None, :]
-        v = v_ref[0, 0].astype(jnp.float32)
-        acc_s[:] = acc_s[:] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32
+        p = jnp.exp(scores - m_new[..., :1])
+        # p uses m_new directly, so no separate beta factor is needed; the
+        # normalizer sums the UNSCALED numerators (v scales fold into the
+        # weighted v-sum only)
+        l_new = l_prev * alpha + jnp.broadcast_to(
+            jnp.sum(p, axis=-1)[..., None], l_prev.shape
         )
+        if quantized:
+            vs = scale_bufs[slot, :, 1].transpose(1, 0, 2).reshape(Hkv, T)
+            p = p * vs[:, None, :]
+        m_s[...] = m_new
+        l_s[...] = l_new
 
-    @pl.when(pj == pl.num_programs(2) - 1)
-    def _():
-        o_ref[0, 0] = (acc_s[:] / jnp.maximum(l_s[:], 1e-9)).astype(o_ref.dtype)
+        pv = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # [Hkv, G, D]
+        acc_prev = jnp.where(
+            blk == 0, jnp.zeros_like(acc_s), acc_s[...]
+        )
+        acc_s[...] = acc_prev * alpha[..., :1] + pv
+
+        @pl.when(blk == blocks_used - 1)
+        def _finish():
+            o_ref[0] = (
+                acc_s[...] / jnp.maximum(l_s[..., :1], 1e-9)
+            ).astype(o_ref.dtype)
 
 
 def paged_decode_attention(
     q: jax.Array,            # [B, 1, H, D]
-    k_pages: jax.Array,      # [Np, Hkv, P, D] bf16 or int8
-    v_pages: jax.Array,
-    page_table: jax.Array,   # [B, max_pages] int32
+    kv_pages: jax.Array,     # [NP, 2, Hkv, P, D] bf16 or int8
+    page_ids: jax.Array,     # [B, maxp] int32 (flat ids)
     lengths: jax.Array,      # [B] int32 tokens used per slot
-    k_scale=None,            # [Np, Hkv, P, 1] f32 when int8
-    v_scale=None,
+    kv_scale=None,           # [NP, 2, Hkv, P] f32 when int8
     *,
     sm_scale: float | None = None,
+    pages_per_block: int = 4,
     interpret=None,
 ) -> jax.Array:
-    """Single-step attention over a paged cache. Returns [B, 1, H, D]."""
+    """Single-step attention over the paged pool. Returns [B, 1, H, D]."""
     if interpret is None:
         interpret = _interpret_default()
+    if interpret:
+        # manual-DMA double buffering has no faithful interpret-mode
+        # emulation; tests use the XLA reference on CPU
+        out = paged_attention_reference(
+            q, kv_pages, page_ids, lengths, kv_scale, sm_scale=sm_scale
+        )
+        return out.astype(q.dtype)
     B, Tq, H, D = q.shape
     assert Tq == 1, q.shape
-    Np, Hkv, P, _ = k_pages.shape
-    maxp = page_table.shape[1]
+    NP, two, Hkv, P, _ = kv_pages.shape
+    assert two == 2, kv_pages.shape
+    maxp = page_ids.shape[1]
     G = H // Hkv
     if sm_scale is None:
         sm_scale = D ** -0.5
+    # double-buffered kv scratch must fit VMEM: 2 * ppcb * page_bytes <= 8MB
+    page_bytes = 2 * Hkv * P * D * kv_pages.dtype.itemsize
+    ppcb = max(min(pages_per_block, maxp, (8 << 20) // (2 * page_bytes)), 1)
+    while maxp % ppcb:
+        ppcb -= 1
 
-    quantized = k_scale is not None
+    quantized = kv_scale is not None
     qg = q[:, 0].reshape(B, Hkv, G, D)
-    pt = page_table.astype(jnp.int32)
-    used = lengths.astype(jnp.int32)
 
-    def page_index(b, h, pj, pt_ref, used_ref):
-        # clamp trailing steps to the last used page: revisited block ids
-        # skip the DMA, and the body's pl.when skips the compute.
-        last = jnp.maximum((used_ref[b] - 1) // P, 0)
-        j = jnp.minimum(pj, last)
-        return (pt_ref[b, j], h, 0, 0)
-
-    if quantized:
-        ks, vs = k_scale, v_scale
-        scale_spec = pl.BlockSpec((1, 1, P, 1), page_index)
-    else:
-        ks = jnp.ones((1, 1, 1, 1), jnp.float32)
-        vs = ks
-        scale_spec = pl.BlockSpec(
-            (1, 1, 1, 1), lambda b, h, pj, pt_ref, used_ref: (0, 0, 0, 0)
-        )
+    scratch = [
+        pltpu.VMEM((2, ppcb, 2, Hkv, P, D), kv_pages.dtype),
+        # always allocated (256 KB); only DMA'd into when quantized
+        pltpu.VMEM((2, ppcb, 2, Hkv, P), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((Hkv, G, 128), jnp.float32),
+        pltpu.VMEM((Hkv, G, 128), jnp.float32),
+        pltpu.VMEM((Hkv, G, D), jnp.float32),
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
+    if not quantized:
+        kv_scale = jnp.zeros((1, 2, 1, 1), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, Hkv, maxp),
+        grid=(B, maxp // ppcb),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, G, D),
-                lambda b, h, pj, pt_ref, used_ref: (b, h, 0, 0),
-            ),
-            pl.BlockSpec((1, 1, P, D), page_index),
-            pl.BlockSpec((1, 1, P, D), page_index),
-            scale_spec,
-            scale_spec,
+            pl.BlockSpec((1, Hkv, G, D), lambda b, j, l_ref, p_ref: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, G, D), lambda b, h, pj, pt_ref, used_ref: (b, h, 0, 0)
+            (1, Hkv, G, D), lambda b, j, l_ref, p_ref: (b, 0, 0, 0)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((G, 1), jnp.float32),
-            pltpu.VMEM((G, 1), jnp.float32),
-            pltpu.VMEM((G, D), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, sm_scale=sm_scale, quantized=quantized, page=P
+            _kernel, sm_scale=sm_scale, quantized=quantized, ppcb=ppcb,
+            batch=B,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
-        interpret=interpret,
-    )(pt, used, qg, k_pages, v_pages, ks, vs)
+    )(lengths.astype(jnp.int32), page_ids.astype(jnp.int32).reshape(-1),
+      qg, kv_pages, kv_scale)
     return out.reshape(B, H, D)[:, None]
 
 
+def gather_pages(kv_pages, page_ids, kv_scale=None, dtype=jnp.float32):
+    """[NP, 2, Hkv, P, D] pool -> dense k, v [B, S, Hkv, D] (XLA gather).
+
+    The CPU/test/multi-token path; S = maxp * P.
+    """
+    B, maxp = page_ids.shape
+    NP, _, Hkv, P, D = kv_pages.shape
+    g = kv_pages[page_ids]                      # [B, maxp, 2, Hkv, P, D]
+    g = g.astype(dtype)
+    if kv_scale is not None:
+        g = g * kv_scale[page_ids][..., None]   # [B, maxp, 2, Hkv, P, 1]
+    # -> [2, B, S, Hkv, D]
+    g = g.transpose(2, 0, 1, 4, 3, 5).reshape(2, B, maxp * P, Hkv, D)
+    return g[0], g[1]
+
+
 def paged_attention_reference(
-    q, k_pages, v_pages, page_table, lengths, k_scale=None, v_scale=None,
-    *, sm_scale=None,
+    q, kv_pages, page_ids, lengths, kv_scale=None, *, sm_scale=None,
 ):
-    """Gather-based XLA reference (used by tests and as the CPU path)."""
-    B = q.shape[0]
-    Np, Hkv, P, D = k_pages.shape
-    maxp = page_table.shape[1]
-
-    def dense(pages, scale):
-        g = pages[page_table]                       # [B, maxp, Hkv, P, D]
-        if scale is not None:
-            s = scale[page_table]                   # [B, maxp, Hkv, P, 1]
-            g = g.astype(jnp.float32) * s
-        # -> [B, S, Hkv, D]
-        g = g.transpose(0, 1, 3, 2, 4).reshape(B, maxp * P, Hkv, D)
-        return g.astype(q.dtype if scale is None else jnp.float32)
-
-    k = dense(k_pages, k_scale).astype(jnp.float32)
-    v = dense(v_pages, v_scale).astype(jnp.float32)
-
+    """Gather-based XLA reference (tests and the CPU path)."""
     from llava_plus_tpu.ops.attention import xla_attention
+
+    B = q.shape[0]
+    P = kv_pages.shape[3]
+    maxp = page_ids.shape[1]
+    k, v = gather_pages(kv_pages, page_ids, kv_scale)
 
     S = maxp * P
     kv_seg = (jnp.arange(S)[None, :] < lengths[:, None]).astype(jnp.int32)

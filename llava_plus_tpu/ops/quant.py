@@ -164,7 +164,7 @@ def matmul(x: jax.Array, w) -> jax.Array:
             rp = max(((rows + 15) // 16) * 16, 16)
             if (quant_matmul._pick_block_n(N)
                     and quant_matmul._pick_block_k(
-                        K, cap=min(8192, (2 << 20) // (2 * rp)))):
+                        K, cap=min(16384, (2 << 20) // (2 * rp)))):
                 out = quant_matmul.matmul_int4(x.reshape(rows, K), q, s)
                 return out.reshape(*lead, N).astype(x.dtype)
         return x @ dequantize_array(w, x.dtype)

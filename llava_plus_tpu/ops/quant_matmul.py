@@ -47,9 +47,10 @@ def _pick_block_n(n: int) -> int:
     return 0
 
 
-def _pick_block_k(k: int, cap: int = 8192) -> int:
+def _pick_block_k(k: int, cap: int = 16384) -> int:
     """Contraction-dim tile: the largest 256-aligned divisor of K under the
-    VMEM cap — ideally K itself so the accumulator is written once."""
+    VMEM cap — ideally K itself so the accumulator is written once (K=11008
+    at bk=256 costs 43 accumulator passes and 3x the kernel time)."""
     for c in (k, k // 2, k // 4, 4096, 2048, 1024, 512, 256):
         if c and c <= cap and k % c == 0 and c % 256 == 0:
             return c
@@ -164,7 +165,7 @@ def matmul_int4(x, qw, scale, *, block_n: int = 0, block_k: int = 0,
     bn = block_n or _pick_block_n(N)
     # cap the K tile so the [Rp, bk] bf16 x-block stays ~<=2 MB of VMEM
     # (prefill calls this with hundreds of rows)
-    bk = block_k or _pick_block_k(K, cap=min(8192, (2 << 20) // (2 * Rp)))
+    bk = block_k or _pick_block_k(K, cap=min(16384, (2 << 20) // (2 * Rp)))
     assert bn and bk and bk % INT4_BLOCK == 0, (N, K)
     if Rp != R:
         x = jnp.pad(x, ((0, Rp - R), (0, 0)))

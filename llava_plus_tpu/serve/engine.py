@@ -159,18 +159,18 @@ class BatchedEngine:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 head = NamedSharding(
-                    self.mesh, P(None, None, "tp", None, None)
+                    self.mesh, P(None, None, None, "tp", None, None)
+                )
+                shead = NamedSharding(
+                    self.mesh, P(None, None, None, "tp", None)
                 )
                 rep = NamedSharding(self.mesh, P())
                 cache = llama.PagedKVCache(
-                    k=jax.device_put(cache.k, head),
-                    v=jax.device_put(cache.v, head),
+                    kv=jax.device_put(cache.kv, head),
                     seg=jax.device_put(cache.seg, rep),
                     page_table=jax.device_put(cache.page_table, rep),
-                    k_scale=(None if cache.k_scale is None
-                             else jax.device_put(cache.k_scale, head)),
-                    v_scale=(None if cache.v_scale is None
-                             else jax.device_put(cache.v_scale, head)),
+                    kv_scale=(None if cache.kv_scale is None
+                              else jax.device_put(cache.kv_scale, shead)),
                 )
             return cache
         if self.cfg.language_model_type == "mpt":
@@ -246,29 +246,34 @@ class BatchedEngine:
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def insert_paged(cache, cache1, slot, pages_vec, first_token, tokens):
             """Scatter a single-request dense prefill cache (bucket-sized)
-            into the paged pool at this slot's allocated pages."""
+            into the combined paged pool at this slot's allocated pages."""
             L, _, S1, Hkv, Dh = cache1.k.shape
             P = cache.page_size
             n1 = S1 // P
 
-            def scat(pool, single, trailing):
-                chunks = single[:, 0].reshape(L, n1, P, Hkv, trailing)
-                chunks = chunks.transpose(0, 1, 3, 2, 4)
-                return pool.at[:, pages_vec[:n1]].set(
-                    chunks.astype(pool.dtype)
-                )
+            def chunks(single, trailing):
+                c = single[:, 0].reshape(L, n1, P, Hkv, trailing)
+                return c.transpose(0, 1, 3, 2, 4)  # [L, n1, Hkv, P, tr]
+
+            kv = cache.kv
+            kv = kv.at[:, pages_vec[:n1], 0].set(
+                chunks(cache1.k, Dh).astype(kv.dtype))
+            kv = kv.at[:, pages_vec[:n1], 1].set(
+                chunks(cache1.v, Dh).astype(kv.dtype))
+            kv_scale = cache.kv_scale
+            if kv_scale is not None:
+                kv_scale = kv_scale.at[:, pages_vec[:n1], 0].set(
+                    chunks(cache1.k_scale, 1)[..., 0])
+                kv_scale = kv_scale.at[:, pages_vec[:n1], 1].set(
+                    chunks(cache1.v_scale, 1)[..., 0])
 
             seg_row = jnp.zeros((cache.seg.shape[1],), jnp.int32)
             seg_row = jax.lax.dynamic_update_slice(seg_row, cache1.seg[0], (0,))
             cache = llama.PagedKVCache(
-                k=scat(cache.k, cache1.k, Dh),
-                v=scat(cache.v, cache1.v, Dh),
+                kv=kv,
                 seg=cache.seg.at[slot].set(seg_row),
                 page_table=cache.page_table.at[slot].set(pages_vec),
-                k_scale=(None if cache.k_scale is None
-                         else scat(cache.k_scale, cache1.k_scale, 1)),
-                v_scale=(None if cache.v_scale is None
-                         else scat(cache.v_scale, cache1.v_scale, 1)),
+                kv_scale=kv_scale,
             )
             tokens = jax.lax.dynamic_update_index_in_dim(
                 tokens, first_token, slot, axis=0

@@ -1,4 +1,10 @@
-"""Paged flash-decode kernel vs dense attention (interpret mode on CPU)."""
+"""Paged decode attention: XLA reference path vs dense attention (CPU).
+
+On CPU, ``paged_decode_attention`` routes to the gather-based reference —
+the manual-DMA Pallas kernel has no interpret-mode emulation, so its
+numerical parity vs this same reference is asserted on the TPU
+(tools/bench_paged.py --verify and the engine equality tests there).
+"""
 
 import numpy as np
 import pytest
@@ -8,6 +14,7 @@ import jax.numpy as jnp
 
 from llava_plus_tpu.ops.attention import xla_attention
 from llava_plus_tpu.ops.paged_attention import (
+    gather_pages,
     paged_attention_reference,
     paged_decode_attention,
 )
@@ -17,7 +24,7 @@ P = 128  # page size
 
 def _setup(B=3, H=4, Hkv=2, D=128, maxp=4, n_extra_pages=3, seed=0,
            quantized=False):
-    """Build a paged cache whose gathered content equals a dense cache."""
+    """Build a combined paged pool whose gathered content is a dense cache."""
     rng = np.random.default_rng(seed)
     Np = B * maxp + n_extra_pages
     lengths = np.array([maxp * P, 2 * P - 17, P + 1][:B], np.int64)
@@ -26,51 +33,35 @@ def _setup(B=3, H=4, Hkv=2, D=128, maxp=4, n_extra_pages=3, seed=0,
     perm = rng.permutation(Np)
     page_table = perm[: B * maxp].reshape(B, maxp).astype(np.int32)
 
-    k_pages = rng.normal(size=(Np, Hkv, P, D)).astype(np.float32)
-    v_pages = rng.normal(size=(Np, Hkv, P, D)).astype(np.float32)
+    kv_pages = rng.normal(size=(Np, 2, Hkv, P, D)).astype(np.float32)
     q = rng.normal(size=(B, 1, H, D)).astype(np.float32)
 
-    ks = vs = None
+    kv_scale = None
     if quantized:
-        def quant(pages):
-            s = np.abs(pages).max(axis=-1, keepdims=True) / 127.0
-            qv = np.clip(np.round(pages / s), -127, 127).astype(np.int8)
-            return qv, s.astype(np.float32)
+        s = np.abs(kv_pages).max(axis=-1) / 127.0
+        kv_q = np.clip(
+            np.round(kv_pages / s[..., None]), -127, 127
+        ).astype(np.int8)
+        kv_pages, kv_scale = kv_q, s.astype(np.float32)
 
-        k_pages, ks = quant(k_pages)
-        v_pages, vs = quant(v_pages)
-
-    args = (
-        jnp.asarray(q),
-        jnp.asarray(k_pages), jnp.asarray(v_pages),
-        jnp.asarray(page_table), jnp.asarray(lengths, jnp.int32),
+    return (
+        jnp.asarray(q), jnp.asarray(kv_pages), jnp.asarray(page_table),
+        jnp.asarray(lengths, jnp.int32),
+        None if kv_scale is None else jnp.asarray(kv_scale),
     )
-    return args + ((jnp.asarray(ks), jnp.asarray(vs)) if quantized
-                   else (None, None))
 
 
-def _dense_from_pages(k_pages, v_pages, page_table, lengths, ks, vs):
-    B, maxp = page_table.shape
-    Np, Hkv, P_, D = k_pages.shape
-
-    def dense(pages, scale):
-        g = np.asarray(pages)[np.asarray(page_table)]
-        if scale is not None:
-            g = g.astype(np.float32) * np.asarray(scale)[np.asarray(page_table)]
-        return jnp.asarray(
-            g.transpose(0, 1, 3, 2, 4).reshape(B, maxp * P_, Hkv, D),
-            jnp.float32,
-        )
-
-    return dense(k_pages, ks), dense(v_pages, vs)
+def _dense_from_pages(kv_pages, page_table, kv_scale):
+    k, v = gather_pages(kv_pages, page_table, kv_scale)
+    return k.astype(jnp.float32), v.astype(jnp.float32)
 
 
 @pytest.mark.parametrize("quantized", [False, True])
 def test_matches_dense_attention(quantized):
-    q, k_pages, v_pages, pt, lengths, ks, vs = _setup(quantized=quantized)
-    got = paged_decode_attention(q, k_pages, v_pages, pt, lengths, ks, vs)
+    q, kv_pages, pt, lengths, kv_scale = _setup(quantized=quantized)
+    got = paged_decode_attention(q, kv_pages, pt, lengths, kv_scale)
 
-    k_dense, v_dense = _dense_from_pages(k_pages, v_pages, pt, lengths, ks, vs)
+    k_dense, v_dense = _dense_from_pages(kv_pages, pt, kv_scale)
     B = q.shape[0]
     S = k_dense.shape[1]
     kv_seg = (jnp.arange(S)[None] < lengths[:, None]).astype(jnp.int32)
@@ -84,23 +75,38 @@ def test_matches_dense_attention(quantized):
                                atol=atol, rtol=1e-2 if quantized else 1e-4)
 
 
-def test_reference_helper_matches_kernel():
-    q, k_pages, v_pages, pt, lengths, ks, vs = _setup(seed=3)
-    got = paged_decode_attention(q, k_pages, v_pages, pt, lengths)
-    ref = paged_attention_reference(q, k_pages, v_pages, pt, lengths)
+def test_reference_helper_consistent():
+    q, kv_pages, pt, lengths, _ = _setup(seed=3)
+    got = paged_decode_attention(q, kv_pages, pt, lengths)
+    ref = paged_attention_reference(q, kv_pages, pt, lengths)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
 
 
 def test_bf16_pool():
-    q, k_pages, v_pages, pt, lengths, _, _ = _setup(seed=5)
+    q, kv_pages, pt, lengths, _ = _setup(seed=5)
     q16 = q.astype(jnp.bfloat16)
     got = paged_decode_attention(
-        q16, k_pages.astype(jnp.bfloat16), v_pages.astype(jnp.bfloat16),
-        pt, lengths,
+        q16, kv_pages.astype(jnp.bfloat16), pt, lengths,
     )
-    ref = paged_attention_reference(q, k_pages, v_pages, pt, lengths)
+    ref = paged_attention_reference(q, kv_pages, pt, lengths)
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref), atol=5e-2, rtol=5e-2
     )
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu",
+    reason="Pallas manual-DMA kernel runs on TPU only",
+)
+@pytest.mark.parametrize("quantized", [False, True])
+def test_kernel_matches_reference_on_tpu(quantized):
+    q, kv_pages, pt, lengths, kv_scale = _setup(seed=7, quantized=quantized)
+    got = paged_decode_attention(
+        q, kv_pages, pt, lengths, kv_scale, interpret=False
+    )
+    ref = paged_attention_reference(q, kv_pages, pt, lengths, kv_scale)
+    atol = 2e-2 if quantized else 1e-3
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=atol, rtol=1e-2)

@@ -40,9 +40,9 @@ def test_paged_matches_dense_decode(params, dtype):
         dtype=dtype,
     )
     paged = llama.PagedKVCache(
-        k=paged.k, v=paged.v, seg=paged.seg,
+        kv=paged.kv, seg=paged.seg,
         page_table=jnp.asarray([[3, 1], [0, 4]], jnp.int32),
-        k_scale=paged.k_scale, v_scale=paged.v_scale,
+        kv_scale=paged.kv_scale,
     )
 
     logits_d, dense = llama.forward(
@@ -88,9 +88,9 @@ def test_paged_long_context_beyond_dense(params):
         dtype=jnp.float32,
     )
     paged = llama.PagedKVCache(
-        k=paged.k, v=paged.v, seg=paged.seg,
+        kv=paged.kv, seg=paged.seg,
         page_table=jnp.asarray([[2, 0, 3]], jnp.int32),
-        k_scale=None, v_scale=None,
+        kv_scale=None,
     )
     T0 = PAGE + 16  # prompt crosses a page boundary
     rng = np.random.default_rng(1)
