@@ -155,31 +155,40 @@ def _paged_scatter(pool, idx4, vals, *, window_dims, operand_dims):
     )
 
 
-def _paged_write(pool, scales, new_k, new_v, idx, pages, offsets, valid):
-    """Write new_k/new_v [B,T,Hkv,D] into the [L,Np,2,Hkv,P,D] pool at
-    [idx, pages[b,t], kv, :, offsets[b,t]]; invalid entries drop."""
-    B, T, Hkv, D = new_k.shape
+def _paged_write_all(pool, scales, stage_k, stage_v, pages, offsets, valid):
+    """Write staged stage_k/stage_v [L,B,T,Hkv,D] (every layer's current
+    chunk) into the [L,Np,2,Hkv,P,D] pool in ONE scatter per tensor.
+
+    Deferred from the layer scan: a scatter's operand is the multi-GB pool,
+    and per-layer scatters cost far more than the attention they feed (the
+    kernel attends to the current token directly via its self block, so
+    nothing reads these writes until the next decode step).
+    """
+    L, B, T, Hkv, D = stage_k.shape
     npages = pool.shape[1]
     pages = jnp.where(valid, pages, npages)  # out of range -> dropped
-    lay = jnp.broadcast_to(idx, (B, T))
+    lay = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[:, None, None], (L, B, T)
+    )
+    pages = jnp.broadcast_to(pages[None], (L, B, T))
+    offsets = jnp.broadcast_to(offsets[None], (L, B, T))
+    N = L * B * T
 
     def idx4(kv_sel):
-        sel = jnp.full((B, T), kv_sel, jnp.int32)
-        return jnp.stack([lay, pages, sel, offsets], axis=-1).reshape(
-            B * T, 4
-        )
+        sel = jnp.full((L, B, T), kv_sel, jnp.int32)
+        return jnp.stack([lay, pages, sel, offsets], axis=-1).reshape(N, 4)
 
     # operand [L, Np, 2, Hkv, P, D]: indices address dims (0,1,2,4),
     # window (Hkv, D) maps to dims (3, 5)
     def put(pool, vals, kv_sel):
         return _paged_scatter(
-            pool, idx4(kv_sel), vals.reshape(B * T, Hkv, D),
+            pool, idx4(kv_sel), vals.reshape(N, Hkv, D),
             window_dims=(1, 2), operand_dims=(0, 1, 2, 4),
         )
 
     if scales is None:
-        pool = put(pool, new_k, 0)
-        pool = put(pool, new_v, 1)
+        pool = put(pool, stage_k, 0)
+        pool = put(pool, stage_v, 1)
         return pool, None
 
     def quant(new):
@@ -190,15 +199,15 @@ def _paged_write(pool, scales, new_k, new_v, idx, pages, offsets, valid):
         q = jnp.clip(jnp.round(nf / scale), -127, 127).astype(jnp.int8)
         return q, scale[..., 0]
 
-    qk, sk = quant(new_k)
-    qv, sv = quant(new_v)
+    qk, sk = quant(stage_k)
+    qv, sv = quant(stage_v)
     pool = put(pool, qk, 0)
     pool = put(pool, qv, 1)
 
     # scales operand [L, Np, 2, Hkv, P]: window (Hkv,) maps to dim 3
     def put_s(scales, vals, kv_sel):
         return _paged_scatter(
-            scales, idx4(kv_sel), vals.reshape(B * T, Hkv),
+            scales, idx4(kv_sel), vals.reshape(N, Hkv),
             window_dims=(1,), operand_dims=(0, 1, 2, 4),
         )
 
@@ -351,16 +360,20 @@ def embed_tokens(params, input_ids: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _paged_layer_attention(
-    q, kv_all, kvs_all, idx, paged_info, segment_ids, positions, attn_impl,
+    q, k_cur, v_cur, kv_all, kvs_all, idx, paged_info,
+    segment_ids, positions, attn_impl,
 ):
     """Decode/continuation attention over the paged pool for one layer.
 
-    ``kv_all`` is the FULL stacked pool [L, Np, 2, Hkv, P, Dh] (it rides
-    the scan carry); the layer is addressed by offsetting page ids into
-    the flattened [L*Np, ...] view — a [B, maxp] int32 add — instead of
-    slicing a multi-GB array per layer.
+    ``kv_all`` is the FULL stacked pool [L, Np, 2, Hkv, P, Dh] (closed
+    over by the scan — it is never written inside it); the layer is
+    addressed by offsetting page ids into the flattened [L*Np, ...] view —
+    a [B, maxp] int32 add — instead of slicing a multi-GB array per layer.
+    The pool holds PAST tokens only: the current chunk's k/v arrive as
+    ``k_cur``/``v_cur`` (written to the pool once per step, after the
+    layer scan — see _paged_write_all).
     """
-    pages, offsets, valid, page_table, lengths, cache_seg = paged_info
+    pages, offsets, valid, page_table, past_len, old_seg = paged_info
     B, T = q.shape[:2]
     L, Np = kv_all.shape[:2]
     flat = kv_all.reshape((L * Np,) + kv_all.shape[2:])
@@ -370,18 +383,31 @@ def _paged_layer_attention(
     if T == 1 and _decode_kernel_ok():
         from llava_plus_tpu.ops.paged_attention import paged_decode_attention
 
-        return paged_decode_attention(q, flat, flat_ids, lengths, flat_s)
+        return paged_decode_attention(
+            q, flat, flat_ids, past_len, flat_s,
+            cur_k=k_cur, cur_v=v_cur, cur_valid=segment_ids[:, 0],
+        )
     # Generic path (CPU tests, multi-token continuation): gather the used
-    # pages into a dense view and run the masked XLA attention.
+    # pages into a dense view, append the current chunk, and run the
+    # masked XLA attention with explicit kv positions.
     from llava_plus_tpu.ops.paged_attention import gather_pages
 
     k, v = gather_pages(flat, flat_ids, flat_s)
+    S = k.shape[1]
+    k = jnp.concatenate([k.astype(q.dtype), k_cur.astype(q.dtype)], axis=1)
+    v = jnp.concatenate([v.astype(q.dtype), v_cur.astype(q.dtype)], axis=1)
+    kv_seg = jnp.concatenate([old_seg, segment_ids], axis=1)
+    kv_positions = jnp.concatenate([
+        jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S)),
+        positions.astype(jnp.int32),
+    ], axis=1)
     return attention(
-        q, k.astype(q.dtype), v.astype(q.dtype),
+        q, k, v,
         causal=True,
         q_segment_ids=segment_ids,
-        kv_segment_ids=cache_seg,
+        kv_segment_ids=kv_seg,
         q_positions=positions,
+        kv_positions=kv_positions,
         impl="xla",
     )
 
@@ -417,14 +443,11 @@ def _layer_forward(
     k = apply_rope(k, cos, sin)
 
     if layer_cache is not None and paged_info is not None:
-        # Paged cache: the combined pool [L,Np,2,Hkv,P,Dh] rides the scan
-        # carry; writes scatter through the page table, reads stream pages
-        # (kernel) or gather (generic path).
+        # Paged cache: the combined pool [L,Np,2,Hkv,P,Dh] is a read-only
+        # closure of the scan; this layer's k/v are STAGED (returned as
+        # scan ys) and written to the pool once per step, after the scan.
+        # Attention covers pool (past tokens) + the current chunk directly.
         kv_all, kvs_all, idx = layer_cache
-        pages, offsets, valid, _, _, _ = paged_info
-        kv_all, kvs_all = _paged_write(
-            kv_all, kvs_all, k, v, idx, pages, offsets, valid
-        )
         if fresh_prefill and T > 1:
             attn_out = attention(
                 q, k, v,
@@ -435,10 +458,10 @@ def _layer_forward(
             )
         else:
             attn_out = _paged_layer_attention(
-                q, kv_all, kvs_all, idx, paged_info,
+                q, k, v, kv_all, kvs_all, idx, paged_info,
                 segment_ids, positions, attn_impl,
             )
-        new_cache = (kv_all, kvs_all)
+        new_cache = (k, v)  # staged chunk, not the pool
     elif layer_cache is not None:
         # layer_cache = (k_all [L,B,T,Hkv,Dh], v_all, k_scale, v_scale,
         # layer_idx): the FULL stacked cache rides the scan carry and is
@@ -564,28 +587,41 @@ def decoder_forward(
             pages = jnp.take_along_axis(cache.page_table, pidx, axis=1)
             offsets = positions % P
             valid = (positions < cache.max_len) & (segment_ids > 0)
-            lengths = jnp.minimum(
-                jnp.max(positions, axis=1) + 1, cache.max_len
+            # PAST tokens per slot (pool-resident; the current chunk is
+            # attended directly and written after the layer scan)
+            past_len = jnp.where(
+                segment_ids[:, 0] > 0, positions[:, 0], 0
             ).astype(jnp.int32)
-            paged_info = (pages, offsets, valid, cache.page_table, lengths,
-                          new_cache_seg)
+            past_len = jnp.minimum(past_len, cache.max_len)
+            paged_info = (pages, offsets, valid, cache.page_table, past_len,
+                          cache.seg)
 
     if isinstance(cache, PagedKVCache):
-        def body(carry, lp):
-            carry_h, kv_all, kvs_all, idx = carry
-            h_out, (kv_all, kvs_all) = _layer_forward(
+        # The pool is a read-only closure of the scan (deferred writes):
+        # each layer stages its chunk k/v as ys; one scatter per step
+        # then lands all layers' tokens in the pool.
+        def body(carry, xs):
+            carry_h, = carry
+            lp, idx = xs
+            h_out, (k_st, v_st) = _layer_forward(
                 lp, carry_h, cos, sin, segment_ids, positions, cfg,
-                (kv_all, kvs_all, idx), new_cache_seg, attn_impl,
+                (cache.kv, cache.kv_scale, idx), new_cache_seg, attn_impl,
                 fresh_prefill, paged_info,
             )
-            return (h_out, kv_all, kvs_all, idx + 1), None
+            return (h_out,), (k_st, v_st)
 
         if remat:
             body = jax.checkpoint(body)
-        (h, kvp, kvsp, _), _ = jax.lax.scan(
+        L = cfg.num_hidden_layers
+        (h,), (stage_k, stage_v) = jax.lax.scan(
             body,
-            (h, cache.kv, cache.kv_scale, jnp.int32(0)),
-            params["layers"],
+            (h,),
+            (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+        )
+        pages, offsets, valid = paged_info[0], paged_info[1], paged_info[2]
+        kvp, kvsp = _paged_write_all(
+            cache.kv, cache.kv_scale, stage_k, stage_v,
+            pages, offsets, valid,
         )
         new_cache = PagedKVCache(
             kv=kvp, seg=new_cache_seg, page_table=cache.page_table,

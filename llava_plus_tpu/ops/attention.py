@@ -43,6 +43,7 @@ def xla_attention(
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     q_positions: Optional[jax.Array] = None,
+    kv_positions: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
 ) -> jax.Array:
     """Reference attention in pure jnp with fp32 softmax accumulation.
@@ -51,6 +52,9 @@ def xla_attention(
     sequence (kv slot index == kv position). Used for KV-cache attention
     where Tq != Tkv or rows are padded. Defaults to suffix alignment
     (q[i] at position Tkv - Tq + i).
+    ``kv_positions`` [B, Tkv]: absolute position of each kv entry; defaults
+    to its slot index (iota). Used when the kv axis concatenates a cache
+    view with the current chunk (deferred paged writes).
     """
     B, Tq, H, D = q.shape
     _, Tkv, Hkv, _ = k.shape
@@ -75,11 +79,19 @@ def xla_attention(
 
     mask = None
     if causal:
-        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tkv), 1)
-        if q_positions is not None:
+        if kv_positions is not None:
+            qp = (q_positions if q_positions is not None
+                  else jax.lax.broadcasted_iota(
+                      jnp.int32, (B, Tq), 1) + (Tkv - Tq))
+            causal_mask = kv_positions[:, None, :] <= qp[:, :, None]
+            mask = causal_mask[:, None]  # [B, 1, Tq, Tkv]
+            kv_pos = None
+        elif q_positions is not None:
+            kv_pos = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tkv), 1)
             causal_mask = kv_pos[None] <= q_positions[:, :, None]
             mask = causal_mask[:, None]  # [B, 1, Tq, Tkv]
         else:
+            kv_pos = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tkv), 1)
             q_pos = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tkv), 0)
             causal_mask = kv_pos <= q_pos + (Tkv - Tq)
             mask = causal_mask[None, None]
@@ -114,10 +126,13 @@ def attention(
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     q_positions: Optional[jax.Array] = None,
+    kv_positions: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     impl: str = "auto",
 ) -> jax.Array:
     """Dispatching attention. ``impl`` in {"auto", "xla", "pallas"}."""
+    if kv_positions is not None:
+        impl = "xla"  # explicit kv positions are an XLA-path feature
     if impl == "auto":
         impl = "pallas" if _can_use_pallas(q, k, bias, q_positions) else "xla"
     if impl == "pallas":
@@ -135,7 +150,8 @@ def attention(
         q, k, v,
         causal=causal, bias=bias,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
-        q_positions=q_positions, softmax_scale=softmax_scale,
+        q_positions=q_positions, kv_positions=kv_positions,
+        softmax_scale=softmax_scale,
     )
 
 

@@ -10,23 +10,33 @@ kernels use — cf. jax.experimental.pallas.ops.tpu.paged_attention and the
 vLLM ragged kernel; ours is decode-specialized and keeps per-(token, head)
 int8 scales, which those kernels lack).
 
-Why not BlockSpec indirection with grid (B, Hkv, maxp) (the previous
-design): that grid runs B*Hkv*maxp steps per layer — ~8k mostly-no-op
-steps per layer at 7B MHA shapes, ~0.25 s of pure grid overhead per
-decode step across 32 layers. Here a page block carries ALL heads, so the
-grid is (B, ceil(maxp/ppcb)) — two orders of magnitude fewer steps — and
-trailing blocks past a slot's length are skipped inside the kernel.
+Why not BlockSpec indirection with grid (B, Hkv, maxp) (the first design):
+that grid runs B*Hkv*maxp steps per layer — ~8k mostly-no-op steps per
+layer at 7B MHA shapes, ~0.25 s of pure grid overhead per decode step
+across 32 layers. Here a page block carries ALL heads, so the grid is
+(B, ceil(maxp/ppcb)) — two orders of magnitude fewer steps — and trailing
+blocks past a slot's length are skipped inside the kernel.
 
 One pool serves every layer: page ids are FLAT (`layer * pages_per_layer +
 page`), so the decoder's scan-over-layers just offsets the page table (a
 [B, maxp] int32 add) instead of slicing a multi-GB pool per layer.
+
+Deferred writes: the decoder does NOT scatter the current token into the
+pool before attention (a per-layer scatter on a multi-GB operand costs
+more than the attention itself). Instead the kernel takes the current
+token's k/v (``cur_k``/``cur_v``) as a direct VMEM input and folds it in
+as a final "self block"; the pool write happens ONCE per decode step for
+all layers (see models/llama.py:_paged_write_all). ``lengths`` therefore
+counts PAST tokens (tokens already in the pool), not including the
+current one.
 
 Layouts
 - q [B, 1, H, D] (decode: one token per slot); GQA G = H // Hkv
 - kv_pages [NP, 2, Hkv, P, D] bf16 or int8; one page = contiguous
   [2, Hkv, P, D] block (the DMA unit)
 - kv_scale [NP, 2, Hkv, P] f32 when int8 (per-token, per-head scales)
-- page_ids [B, maxp] int32 flat page ids; lengths [B] int32 tokens used
+- page_ids [B, maxp] int32 flat page ids; lengths [B] int32 past tokens
+- cur_k / cur_v [B, 1, Hkv, D] current token (attended, not yet written)
 """
 
 from __future__ import annotations
@@ -75,17 +85,20 @@ class _PageBlockCopy:
 
 def _kernel(
     # scalar prefetch
-    lengths_ref,            # [B]
+    lengths_ref,            # [B] PAST tokens per slot (pool-resident)
     page_ids_ref,           # [B * maxp] flat
+    valid_ref,              # [B] current-token validity (0 = dead slot)
     # inputs
     q_ref,                  # [1, Hkv, G, D] (block over b)
+    curk_ref,               # [1, Hkv, D]
+    curv_ref,               # [1, Hkv, D]
     pool_ref,               # [NP, 2, Hkv, P, D] in HBM (ANY)
     scale_ref,              # [NP, 2, Hkv, P] in HBM (ANY) or dummy
     # outputs
     o_ref,                  # [1, Hkv, G, D]
     # scratch
     kv_bufs,                # [2, ppcb, 2, Hkv, P, D] VMEM
-    scale_bufs,             # [2, ppcb, 2, Hkv, P] VMEM or None
+    scale_bufs,             # [2, ppcb, 2, Hkv, P] VMEM
     sems,                   # [2] DMA semaphores
     m_s, l_s, acc_s,        # [Hkv, G, 128], [Hkv, G, 128], [Hkv, G, D]
     buf_idx_ref,            # [1] SMEM: double-buffer index
@@ -95,12 +108,11 @@ def _kernel(
     quantized: bool,
     ppcb: int,
     batch: int,
+    has_cur: bool,
 ):
     b, blk = pl.program_id(0), pl.program_id(1)
-    nblk = pl.num_programs(1)
     NP, _, Hkv, P, D = pool_ref.shape
     T = ppcb * P
-    G = q_ref.shape[2]
 
     @pl.when((b == 0) & (blk == 0))
     def _init_smem():
@@ -124,9 +136,7 @@ def _kernel(
 
     def next_indices(b_, blk_):
         # next (b, blk) pair that does real work, for cross-block prefetch
-        last = blk_ + 1 >= jnp.maximum(
-            pl.cdiv(lengths_ref[b_], T), 1
-        )
+        last = blk_ + 1 >= jnp.maximum(pl.cdiv(lengths_ref[b_], T), 1)
         nb = jnp.where(last, b_ + 1, b_)
         nblk_ = jnp.where(last, 0, blk_ + 1)
         return nb, nblk_
@@ -200,20 +210,46 @@ def _kernel(
 
         @pl.when(blk == blocks_used - 1)
         def _finish():
-            o_ref[0] = (
-                acc_s[...] / jnp.maximum(l_s[..., :1], 1e-9)
-            ).astype(o_ref.dtype)
+            if has_cur:
+                # fold the not-yet-written current token in as one more
+                # (unquantized) attention entry — the "self block"
+                qf = q_ref[0].astype(jnp.float32)           # [Hkv, G, D]
+                ck = curk_ref[0].astype(jnp.float32)        # [Hkv, D]
+                cv = curv_ref[0].astype(jnp.float32)
+                s_self = jnp.sum(
+                    qf * ck[:, None, :], axis=-1
+                ) * sm_scale                                # [Hkv, G]
+                s_self = jnp.where(valid_ref[b] > 0, s_self, NEG_INF)
+                s_b = jnp.broadcast_to(s_self[..., None], m_s.shape)
+                m_fin = jnp.maximum(m_s[...], s_b)
+                alpha_f = jnp.exp(m_s[...] - m_fin)
+                p_self = jnp.exp(s_self - m_fin[..., 0])    # [Hkv, G]
+                l_fin = l_s[...] * alpha_f + jnp.broadcast_to(
+                    p_self[..., None], l_s.shape
+                )
+                acc_fin = (acc_s[...] * alpha_f[..., :1]
+                           + p_self[..., None] * cv[:, None, :])
+                o_ref[0] = (
+                    acc_fin / jnp.maximum(l_fin[..., :1], 1e-9)
+                ).astype(o_ref.dtype)
+            else:
+                o_ref[0] = (
+                    acc_s[...] / jnp.maximum(l_s[..., :1], 1e-9)
+                ).astype(o_ref.dtype)
 
 
 def paged_decode_attention(
     q: jax.Array,            # [B, 1, H, D]
     kv_pages: jax.Array,     # [NP, 2, Hkv, P, D] bf16 or int8
     page_ids: jax.Array,     # [B, maxp] int32 (flat ids)
-    lengths: jax.Array,      # [B] int32 tokens used per slot
+    lengths: jax.Array,      # [B] int32 past tokens per slot
     kv_scale=None,           # [NP, 2, Hkv, P] f32 when int8
+    cur_k=None,              # [B, 1, Hkv, D] current token (not in pool)
+    cur_v=None,
+    cur_valid=None,          # [B] int32 (0 = dead slot) when cur_k given
     *,
     sm_scale: float | None = None,
-    pages_per_block: int = 4,
+    pages_per_block: int = 8,
     interpret=None,
 ) -> jax.Array:
     """Single-step attention over the paged pool. Returns [B, 1, H, D]."""
@@ -223,7 +259,9 @@ def paged_decode_attention(
         # manual-DMA double buffering has no faithful interpret-mode
         # emulation; tests use the XLA reference on CPU
         out = paged_attention_reference(
-            q, kv_pages, page_ids, lengths, kv_scale, sm_scale=sm_scale
+            q, kv_pages, page_ids, lengths, kv_scale,
+            cur_k=cur_k, cur_v=cur_v, cur_valid=cur_valid,
+            sm_scale=sm_scale,
         )
         return out.astype(q.dtype)
     B, Tq, H, D = q.shape
@@ -241,7 +279,13 @@ def paged_decode_attention(
         ppcb -= 1
 
     quantized = kv_scale is not None
+    has_cur = cur_k is not None
     qg = q[:, 0].reshape(B, Hkv, G, D)
+    if not has_cur:
+        cur_k = jnp.zeros((B, 1, Hkv, D), q.dtype)
+        cur_v = cur_k
+    if cur_valid is None:
+        cur_valid = jnp.ones((B,), jnp.int32)
 
     scratch = [
         pltpu.VMEM((2, ppcb, 2, Hkv, P, D), kv_pages.dtype),
@@ -258,22 +302,26 @@ def paged_decode_attention(
         kv_scale = jnp.zeros((1, 2, 1, 1), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, maxp // ppcb),
         in_specs=[
-            pl.BlockSpec((1, Hkv, G, D), lambda b, j, l_ref, p_ref: (b, 0, 0, 0)),
+            pl.BlockSpec(
+                (1, Hkv, G, D), lambda b, j, *_: (b, 0, 0, 0)
+            ),
+            pl.BlockSpec((1, 1, Hkv, D), lambda b, j, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, D), lambda b, j, *_: (b, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, Hkv, G, D), lambda b, j, l_ref, p_ref: (b, 0, 0, 0)
+            (1, Hkv, G, D), lambda b, j, *_: (b, 0, 0, 0)
         ),
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         functools.partial(
             _kernel, sm_scale=sm_scale, quantized=quantized, ppcb=ppcb,
-            batch=B,
+            batch=B, has_cur=has_cur,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
@@ -281,7 +329,9 @@ def paged_decode_attention(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(lengths.astype(jnp.int32), page_ids.astype(jnp.int32).reshape(-1),
-      qg, kv_pages, kv_scale)
+      cur_valid.astype(jnp.int32),
+      qg, cur_k.reshape(B, 1, Hkv, D), cur_v.reshape(B, 1, Hkv, D),
+      kv_pages, kv_scale)
     return out.reshape(B, H, D)[:, None]
 
 
@@ -302,7 +352,8 @@ def gather_pages(kv_pages, page_ids, kv_scale=None, dtype=jnp.float32):
 
 
 def paged_attention_reference(
-    q, kv_pages, page_ids, lengths, kv_scale=None, *, sm_scale=None,
+    q, kv_pages, page_ids, lengths, kv_scale=None,
+    cur_k=None, cur_v=None, cur_valid=None, *, sm_scale=None,
 ):
     """Gather-based XLA reference (tests and the CPU path)."""
     from llava_plus_tpu.ops.attention import xla_attention
@@ -314,10 +365,25 @@ def paged_attention_reference(
 
     S = maxp * P
     kv_seg = (jnp.arange(S)[None, :] < lengths[:, None]).astype(jnp.int32)
+    if cur_k is not None:
+        # current token appended at logical position `lengths`
+        k = jnp.concatenate([k, cur_k.astype(k.dtype)], axis=1)
+        v = jnp.concatenate([v, cur_v.astype(v.dtype)], axis=1)
+        valid = (jnp.ones((B,), jnp.int32) if cur_valid is None
+                 else cur_valid.astype(jnp.int32))
+        kv_seg = jnp.concatenate([kv_seg, valid[:, None]], axis=1)
+        q_positions = lengths[:, None]
+        kv_positions = jnp.concatenate([
+            jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S)),
+            lengths[:, None].astype(jnp.int32),
+        ], axis=1)
+    else:
+        q_positions = (lengths - 1)[:, None]
+        kv_positions = None
     q_seg = jnp.ones((B, 1), jnp.int32)
-    q_positions = (lengths - 1)[:, None]
     return xla_attention(
         q, k.astype(q.dtype), v.astype(q.dtype),
         causal=True, q_segment_ids=q_seg, kv_segment_ids=kv_seg,
-        q_positions=q_positions, softmax_scale=sm_scale,
+        q_positions=q_positions, kv_positions=kv_positions,
+        softmax_scale=sm_scale,
     )
