@@ -115,3 +115,45 @@ def test_paged_long_context_beyond_dense(params):
         np.asarray(lp[:, 0]), np.asarray(ref_logits[:, -1]),
         atol=1e-4, rtol=1e-4,
     )
+
+
+def test_paged_chunked_prefill_continuation(params):
+    """Feeding a prompt in two chunks through the paged cache (fresh
+    prefill, then a non-fresh multi-token continuation) must equal the
+    uncached full forward — locks the deferred-write kv_positions path."""
+    B, T0, T1 = 1, 8, 6
+    rng = np.random.default_rng(7)
+    full_ids = jnp.asarray(rng.integers(3, 250, size=(B, T0 + T1)), jnp.int32)
+
+    paged = llama.PagedKVCache.create(
+        CFG, B, num_pages=3, max_pages_per_slot=2, page_size=PAGE,
+        dtype=jnp.float32,
+    )
+    paged = llama.PagedKVCache(
+        kv=paged.kv, seg=paged.seg,
+        page_table=jnp.asarray([[2, 0]], jnp.int32),
+        kv_scale=None,
+    )
+
+    pos0 = jnp.broadcast_to(jnp.arange(T0, dtype=jnp.int32), (B, T0))
+    l0, paged = llama.forward(
+        params, CFG, full_ids[:, :T0], positions=pos0,
+        segment_ids=jnp.ones((B, T0), jnp.int32),
+        cache=paged, attn_impl="xla", fresh_prefill=True,
+    )
+    pos1 = jnp.broadcast_to(
+        jnp.arange(T0, T0 + T1, dtype=jnp.int32), (B, T1)
+    )
+    l1, paged = llama.forward(
+        params, CFG, full_ids[:, T0:], positions=pos1,
+        segment_ids=jnp.ones((B, T1), jnp.int32),
+        cache=paged, attn_impl="xla",
+    )
+
+    ref, _ = llama.forward(params, CFG, full_ids, attn_impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(l0), np.asarray(ref[:, :T0]), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(l1), np.asarray(ref[:, T0:]), atol=1e-4, rtol=1e-4
+    )
