@@ -85,7 +85,6 @@ def xla_attention(
                       jnp.int32, (B, Tq), 1) + (Tkv - Tq))
             causal_mask = kv_positions[:, None, :] <= qp[:, :, None]
             mask = causal_mask[:, None]  # [B, 1, Tq, Tkv]
-            kv_pos = None
         elif q_positions is not None:
             kv_pos = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tkv), 1)
             causal_mask = kv_pos[None] <= q_positions[:, :, None]

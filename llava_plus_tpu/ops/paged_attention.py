@@ -214,8 +214,8 @@ def _kernel(
                 # fold the not-yet-written current token in as one more
                 # (unquantized) attention entry — the "self block"
                 qf = q_ref[0].astype(jnp.float32)           # [Hkv, G, D]
-                ck = curk_ref[0].astype(jnp.float32)        # [Hkv, D]
-                cv = curv_ref[0].astype(jnp.float32)
+                ck = curk_ref[0, 0].astype(jnp.float32)     # [Hkv, D]
+                cv = curv_ref[0, 0].astype(jnp.float32)
                 s_self = jnp.sum(
                     qf * ck[:, None, :], axis=-1
                 ) * sm_scale                                # [Hkv, G]

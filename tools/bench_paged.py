@@ -81,9 +81,11 @@ STAGES = {
     # paged engine, 4096 ctx, same pool budget (8*2048 tokens), same load
     "paged-4096": dict(paged=True, max_seq_len=4096, prompt_tokens=768,
                        pool_tokens=8 * 2048),
-    # one 3584-token prompt -> 64 new tokens (beyond the dense 2048 limit)
+    # one 3584-token prompt -> 64 new tokens (beyond the dense 2048 limit);
+    # pool sized to the single stream (a 16 GB-chip 8-slot pool + the 3584
+    # prefill transients would OOM next to the int8 weights)
     "paged-long": dict(paged=True, max_seq_len=4096, prompt_tokens=3584,
-                       n_requests=1, new_tokens=64, pool_tokens=8 * 2048),
+                       n_requests=1, new_tokens=64, pool_tokens=2 * 4096),
 }
 
 
