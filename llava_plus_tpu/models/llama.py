@@ -155,14 +155,28 @@ def _paged_scatter(pool, idx4, vals, *, window_dims, operand_dims):
     )
 
 
-def _paged_write_all(pool, scales, stage_k, stage_v, pages, offsets, valid):
+def _paged_quant(new):
+    """Per-(token, head) symmetric int8: [.., Hkv, D] -> (int8, scale[.., Hkv])."""
+    nf = new.astype(jnp.float32)
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(nf), axis=-1, keepdims=True), 1e-8
+    ) / 127.0
+    q = jnp.clip(jnp.round(nf / scale), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0]
+
+
+def _paged_write_all(pool, scales, stage_k, stage_v, stage_sk, stage_sv,
+                     pages, offsets, valid):
     """Write staged stage_k/stage_v [L,B,T,Hkv,D] (every layer's current
-    chunk) into the [L,Np,2,Hkv,P,D] pool in ONE scatter per tensor.
+    chunk, already quantized when the pool is int8) into the
+    [L,Np,2,Hkv,P,D] pool in ONE scatter per tensor.
 
     Deferred from the layer scan: a scatter's operand is the multi-GB pool,
     and per-layer scatters cost far more than the attention they feed (the
     kernel attends to the current token directly via its self block, so
-    nothing reads these writes until the next decode step).
+    nothing reads these writes until the next decode step). Quantization
+    happens per layer inside the scan (_paged_quant) so the staging is
+    int8, never a [L,B,T,Hkv,D] fp32 transient (which OOMs long prefills).
     """
     L, B, T, Hkv, D = stage_k.shape
     npages = pool.shape[1]
@@ -186,23 +200,10 @@ def _paged_write_all(pool, scales, stage_k, stage_v, pages, offsets, valid):
             window_dims=(1, 2), operand_dims=(0, 1, 2, 4),
         )
 
+    pool = put(pool, stage_k, 0)
+    pool = put(pool, stage_v, 1)
     if scales is None:
-        pool = put(pool, stage_k, 0)
-        pool = put(pool, stage_v, 1)
         return pool, None
-
-    def quant(new):
-        nf = new.astype(jnp.float32)
-        scale = jnp.maximum(
-            jnp.max(jnp.abs(nf), axis=-1, keepdims=True), 1e-8
-        ) / 127.0
-        q = jnp.clip(jnp.round(nf / scale), -127, 127).astype(jnp.int8)
-        return q, scale[..., 0]
-
-    qk, sk = quant(stage_k)
-    qv, sv = quant(stage_v)
-    pool = put(pool, qk, 0)
-    pool = put(pool, qv, 1)
 
     # scales operand [L, Np, 2, Hkv, P]: window (Hkv,) maps to dim 3
     def put_s(scales, vals, kv_sel):
@@ -211,8 +212,8 @@ def _paged_write_all(pool, scales, stage_k, stage_v, pages, offsets, valid):
             window_dims=(1,), operand_dims=(0, 1, 2, 4),
         )
 
-    scales = put_s(scales, sk, 0)
-    scales = put_s(scales, sv, 1)
+    scales = put_s(scales, stage_sk, 0)
+    scales = put_s(scales, stage_sv, 1)
     return pool, scales
 
 
@@ -461,7 +462,15 @@ def _layer_forward(
                 q, k, v, kv_all, kvs_all, idx, paged_info,
                 segment_ids, positions, attn_impl,
             )
-        new_cache = (k, v)  # staged chunk, not the pool
+        # staged chunk (not the pool); quantized here, per layer, so the
+        # cross-layer staging is int8 + tiny scales, never bulk fp32
+        if kvs_all is not None:
+            qk, sk = _paged_quant(k)
+            qv, sv = _paged_quant(v)
+            new_cache = (qk, qv, sk, sv)
+        else:
+            new_cache = (k, v, jnp.zeros(k.shape[:-1], jnp.float32),
+                         jnp.zeros(k.shape[:-1], jnp.float32))
     elif layer_cache is not None:
         # layer_cache = (k_all [L,B,T,Hkv,Dh], v_all, k_scale, v_scale,
         # layer_idx): the FULL stacked cache rides the scan carry and is
@@ -603,24 +612,24 @@ def decoder_forward(
         def body(carry, xs):
             carry_h, = carry
             lp, idx = xs
-            h_out, (k_st, v_st) = _layer_forward(
+            h_out, staged = _layer_forward(
                 lp, carry_h, cos, sin, segment_ids, positions, cfg,
                 (cache.kv, cache.kv_scale, idx), new_cache_seg, attn_impl,
                 fresh_prefill, paged_info,
             )
-            return (h_out,), (k_st, v_st)
+            return (h_out,), staged
 
         if remat:
             body = jax.checkpoint(body)
         L = cfg.num_hidden_layers
-        (h,), (stage_k, stage_v) = jax.lax.scan(
+        (h,), (stage_k, stage_v, stage_sk, stage_sv) = jax.lax.scan(
             body,
             (h,),
             (params["layers"], jnp.arange(L, dtype=jnp.int32)),
         )
         pages, offsets, valid = paged_info[0], paged_info[1], paged_info[2]
         kvp, kvsp = _paged_write_all(
-            cache.kv, cache.kv_scale, stage_k, stage_v,
+            cache.kv, cache.kv_scale, stage_k, stage_v, stage_sk, stage_sv,
             pages, offsets, valid,
         )
         new_cache = PagedKVCache(

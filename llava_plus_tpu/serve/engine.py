@@ -144,10 +144,10 @@ class BatchedEngine:
 
     # ------------------------------------------------------------------
 
-    def _make_cache(self, batch=None, seq_len=None):
+    def _make_cache(self, batch=None, seq_len=None, force_dense=False):
         batch = batch or self.max_slots
         seq_len = seq_len or self.max_seq_len
-        if self.paged and batch == self.max_slots:
+        if self.paged and not force_dense:
             cache = llama.PagedKVCache.create(
                 self.cfg.text, batch,
                 num_pages=self.num_pages,
@@ -430,6 +430,7 @@ class BatchedEngine:
         cache1 = self._make_cache(
             batch=1,
             seq_len=int(batch.tokens.shape[1]) if self.paged else None,
+            force_dense=True,  # single-request bucket prefill is dense
         )
         last_logits, cache1 = self._prefill(self.params, batch, cache1)
         key = jax.random.PRNGKey(req.seed)
