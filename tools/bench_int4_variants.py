@@ -138,7 +138,8 @@ def main():
         scale = q4[quant.SKEY]
         wf = np.asarray(w, np.float32).reshape(K // 32, 32, N)
         q4n = np.clip(np.round(wf / np.asarray(scale)[:, None, :]), -8, 7)
-        q4n = jnp.asarray(q4n.reshape(K, N), jnp.int4)
+        # device-side cast: jnp.asarray(np, int4) recurses on this runtime
+        q4n = jnp.asarray(q4n.reshape(K, N), jnp.int8).astype(jnp.int4)
 
         b4 = K * N // 2 + (K // 32) * N * 4
         b8 = K * N + N * 4
@@ -146,26 +147,25 @@ def main():
         t0 = timeit(jax.jit(
             lambda x, q, s: quant_matmul.matmul_int4(x, q, s)
         ), x, q4[quant.Q4KEY], q4[quant.SKEY])
-        t3 = timeit(jax.jit(
-            lambda x, q, s: matmul_int4_native(x, q, s)
-        ), x, q4n, scale)
+        try:
+            # NOTE: the tunneled axon runtime cannot dispatch S4 (jnp.int4)
+            # jit arguments (RecursionError in apply_primitive) — the
+            # native-int4-storage variant is unrunnable here; keep the
+            # packed-int8 kernel as the production path.
+            t3 = timeit(jax.jit(
+                lambda x, q, s: matmul_int4_native(x, q, s)
+            ), x, q4n, scale)
+            v3 = f" | V3-native {t3*1e6:.0f}us ({b4/t3/1e9:.0f} GB/s)"
+        except Exception as e:
+            v3 = f" | V3-native unrunnable ({type(e).__name__})"
         t8 = timeit(jax.jit(
             lambda x, q: quant_matmul.matmul_int8(x, q)
         ), x, q8[quant.QKEY])
 
         print(f"[{K}x{N}] R={R}:"
               f" V0-packed {t0*1e6:.0f}us ({b4/t0/1e9:.0f} GB/s)"
-              f" | V3-native {t3*1e6:.0f}us ({b4/t3/1e9:.0f} GB/s)"
-              f" | int8 {t8*1e6:.0f}us ({b8/t8/1e9:.0f} GB/s)")
-
-        # correctness cross-check (same quantized values, both paths)
-        y3 = matmul_int4_native(x, q4n, scale)
-        yref = (x.astype(jnp.float32)
-                @ (np.asarray(q4n, np.float32).reshape(K // 32, 32, N)
-                   * np.asarray(scale)[:, None, :]).reshape(K, N))
-        err = float(jnp.max(jnp.abs(y3 - yref))
-                    / (float(jnp.max(jnp.abs(yref))) + 1e-9))
-        print(f"    V3 rel err vs dense: {err:.2e}")
+              f"{v3}"
+              f" | int8 {t8*1e6:.0f}us ({b8/t8/1e9:.0f} GB/s)", flush=True)
 
 
 if __name__ == "__main__":
