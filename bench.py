@@ -72,7 +72,7 @@ def build(model_name: str):
         from llava_plus_tpu.ops.quant import quantize_llava_params
 
         bits = 4 if model_name.endswith("-int4") else 8
-        params = quantize_llava_params(params, bits=bits)
+        params = quantize_llava_params(params, bits=bits, fuse=(bits == 4))
     return cfg, params
 
 
@@ -91,6 +91,19 @@ def _prequantized_params(cfg, bits: int):
         lambda k: llava_model.init_params(cfg, k, jnp.bfloat16),
         jax.random.PRNGKey(0),
     )
+    if bits == 4:
+        # mirror quant.fuse_llama_matrices (wqkv / w_gateup shapes)
+        attn = shapes["language_model"]["layers"]["attn"]
+        wq, wk, wv = attn.pop("wq"), attn.pop("wk"), attn.pop("wv")
+        attn["wqkv"] = jax.ShapeDtypeStruct(
+            wq.shape[:-1] + (wq.shape[-1] + wk.shape[-1] + wv.shape[-1],),
+            wq.dtype,
+        )
+        mlp = shapes["language_model"]["layers"]["mlp"]
+        wg, wu = mlp.pop("w_gate"), mlp.pop("w_up")
+        mlp["w_gateup"] = jax.ShapeDtypeStruct(
+            wg.shape[:-1] + (wg.shape[-1] + wu.shape[-1],), wg.dtype,
+        )
 
     def host_leaf(sds):
         a = (rng.standard_normal(sds.shape, np.float32) * 0.02)
@@ -109,7 +122,9 @@ def _prequantized_params(cfg, bits: int):
         return {quant.Q4KEY: jax.device_put(q),
                 quant.SKEY: jax.device_put(s)}
 
-    qpaths = {tuple(p) for p in quant.LLAMA_QUANT_PATHS}
+    qpaths = {tuple(p) for p in
+              (quant.LLAMA_FUSED_QUANT_PATHS if bits == 4
+               else quant.LLAMA_QUANT_PATHS)}
 
     def build(tree, path):
         if isinstance(tree, dict):

@@ -434,9 +434,20 @@ def _layer_forward(
     # Head projections land tp-sharded over heads (Megatron layout); the
     # explicit constraints keep GSPMD from re-deriving a different layout
     # for the jvp/transpose graphs (involuntary-remat warnings).
-    q = matmul(hn, lp["attn"]["wq"]).reshape(B, T, H, Dh)
-    k = matmul(hn, lp["attn"]["wk"]).reshape(B, T, Hkv, Dh)
-    v = matmul(hn, lp["attn"]["wv"]).reshape(B, T, Hkv, Dh)
+    if "wqkv" in lp["attn"]:
+        # inference-fused MHA projection (quant.fuse_llama_matrices):
+        # one kernel launch instead of three
+        qkv = matmul(hn, lp["attn"]["wqkv"])
+        q, k, v = jnp.split(
+            qkv, [H * Dh, H * Dh + Hkv * Dh], axis=-1
+        )
+        q = q.reshape(B, T, H, Dh)
+        k = k.reshape(B, T, Hkv, Dh)
+        v = v.reshape(B, T, Hkv, Dh)
+    else:
+        q = matmul(hn, lp["attn"]["wq"]).reshape(B, T, H, Dh)
+        k = matmul(hn, lp["attn"]["wk"]).reshape(B, T, Hkv, Dh)
+        v = matmul(hn, lp["attn"]["wv"]).reshape(B, T, Hkv, Dh)
     q = constrain(q, _BATCH, None, "tp", None)
     k = constrain(k, _BATCH, None, "tp", None)
     v = constrain(v, _BATCH, None, "tp", None)
@@ -544,11 +555,20 @@ def _layer_forward(
     h = constrain(h, _BATCH, None, None)
 
     hn = rms_norm(h, lp["post_attn_norm"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(
-        constrain(matmul(hn, lp["mlp"]["w_gate"]), _BATCH, None, "tp")
-        .astype(jnp.float32)
-    ).astype(hn.dtype)
-    up = constrain(matmul(hn, lp["mlp"]["w_up"]), _BATCH, None, "tp")
+    if "w_gateup" in lp["mlp"]:
+        # inference-fused gate|up projection: one kernel launch
+        F = cfg.intermediate_size
+        gu = constrain(
+            matmul(hn, lp["mlp"]["w_gateup"]), _BATCH, None, "tp"
+        )
+        gate_pre, up = jnp.split(gu, [F], axis=-1)
+        gate = jax.nn.silu(gate_pre.astype(jnp.float32)).astype(hn.dtype)
+    else:
+        gate = jax.nn.silu(
+            constrain(matmul(hn, lp["mlp"]["w_gate"]), _BATCH, None, "tp")
+            .astype(jnp.float32)
+        ).astype(hn.dtype)
+        up = constrain(matmul(hn, lp["mlp"]["w_up"]), _BATCH, None, "tp")
     h = h + matmul(gate * up, lp["mlp"]["w_down"])
     h = constrain(h, _BATCH, None, None)
     return h, new_cache

@@ -257,9 +257,68 @@ def quantize_lm_params(lm_params, paths: Sequence = LLAMA_QUANT_PATHS,
     return lm_params
 
 
+def fuse_llama_matrices(lm_params):
+    """Fuse wq/wk/wv -> wqkv and w_gate/w_up -> w_gateup (output-dim
+    concat; exact — per-output-channel/block quantization is independent
+    per column, so already-quantized dicts concat leaf-by-leaf).
+
+    Inference-only: with quantized weights each matmul is a Pallas kernel
+    launch, and the per-call overhead of 7 launches per layer costs more
+    than the matmuls at decode row counts. Fusing drops it to 4. QKV fuses
+    only for MHA (equal head counts) so tp sharding of the output dim
+    stays aligned. LoRA/QLoRA training keeps the unfused layout (adapters
+    attach to the individual matrices). Call AFTER quantization: fusing
+    int4/int8 dicts peaks at the quantized size, not the bf16 model's.
+    """
+    def materialize(x):
+        # deferred-execution runtimes: force the concat to run NOW so the
+        # popped source tensors actually free before the next fuse
+        jax.device_get(jnp.ravel(jax.tree.leaves(x)[0])[0])
+        return x
+
+    def cat(parts):
+        if is_quantized(parts[0]):
+            keys = parts[0].keys()
+            return {k: jnp.concatenate([p[k] for p in parts], axis=-1)
+                    for k in keys}
+        return jnp.concatenate(parts, axis=-1)
+
+    def shape(w):
+        return w[QKEY if QKEY in w else Q4KEY].shape if is_quantized(w) \
+            else w.shape
+
+    attn = lm_params["layers"]["attn"]
+    if ("wq" in attn and shape(attn["wq"]) == shape(attn["wk"])):
+        attn["wqkv"] = materialize(cat(
+            [attn.pop("wq"), attn.pop("wk"), attn.pop("wv")]
+        ))
+    mlp = lm_params["layers"]["mlp"]
+    if "w_gate" in mlp:
+        mlp["w_gateup"] = materialize(cat(
+            [mlp.pop("w_gate"), mlp.pop("w_up")]
+        ))
+    return lm_params
+
+
+LLAMA_FUSED_QUANT_PATHS = (
+    ("layers", "attn", "wqkv"),
+    ("layers", "attn", "wq"),      # present when GQA kept them unfused
+    ("layers", "attn", "wk"),
+    ("layers", "attn", "wv"),
+    ("layers", "attn", "wo"),
+    ("layers", "mlp", "w_gateup"),
+    ("layers", "mlp", "w_down"),
+    ("lm_head",),
+)
+
+
 def quantize_llava_params(params, model_type: str = "llama",
-                          in_place: bool = True, bits: int = 8):
+                          in_place: bool = True, bits: int = 8,
+                          fuse: bool = False):
     paths = MPT_QUANT_PATHS if model_type == "mpt" else LLAMA_QUANT_PATHS
     lm = quantize_lm_params(params["language_model"], paths,
                             in_place=in_place, bits=bits)
+    if fuse and model_type == "llama":
+        # fuse AFTER quantizing: transients peak at quantized size
+        lm = fuse_llama_matrices(lm)
     return dict(params, language_model=lm)

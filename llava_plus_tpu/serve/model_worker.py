@@ -101,6 +101,8 @@ class JaxBackend:
             params = quantize_llava_params(
                 params, self.cfg.language_model_type,
                 bits=4 if quantize == "int4" else 8,
+                # fused qkv/gateup: 4 kernel launches per layer, not 7
+                fuse=(quantize == "int4"),
             )
         import jax.numpy as jnp
 

@@ -221,3 +221,40 @@ def test_int8_kv_cache_tracks_bf16_cache():
                           cache=qcache, attn_impl="xla")
     rel = float(jnp.abs(g1 - r1).max() / (jnp.abs(r1).max() + 1e-9))
     assert rel < 0.05, rel
+
+
+def test_fused_quantized_forward_matches_unfused():
+    """fuse_llama_matrices (wqkv / w_gateup) must not change logits beyond
+    quantization noise — same quantized values, fused launch layout."""
+    import copy
+
+    from llava_plus_tpu.models import llama
+    from llava_plus_tpu.models.configs import LlamaConfig
+    from llava_plus_tpu.ops import quant
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    ids = jnp.asarray(np.arange(10)[None] % 120)
+
+    p_unfused = quant.quantize_lm_params(
+        copy.deepcopy(params), quant.LLAMA_QUANT_PATHS, bits=4,
+    )
+    ref, _ = llama.forward(p_unfused, cfg, ids, attn_impl="xla")
+
+    # fusion happens AFTER quantization (concat of quantized dicts)
+    p_fused = quant.fuse_llama_matrices(
+        quant.quantize_lm_params(
+            copy.deepcopy(params), quant.LLAMA_QUANT_PATHS, bits=4,
+        )
+    )
+    assert "wqkv" in p_fused["layers"]["attn"]
+    assert "w_gateup" in p_fused["layers"]["mlp"]
+    got, _ = llama.forward(p_fused, cfg, ids, attn_impl="xla")
+    # identical quantized values in a fused launch layout: exact agreement
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
