@@ -132,7 +132,7 @@ def _prequantized_params(cfg, bits: int):
         if isinstance(tree, (list, tuple)):
             return type(tree)(build(v, path + (i,))
                               for i, v in enumerate(tree))
-        if path in qpaths or path[1:] in qpaths:  # language_model prefix
+        if path[0] == "language_model" and path[1:] in qpaths:
             return quantize_host(tree)
         return host_leaf(tree)
 
@@ -357,6 +357,10 @@ def main():
         ("llava-1.5-7b-int8", 8, True, True),
         ("llava-1.5-7b-int8", 8, False, False),
         ("llava-1.5-7b-int4", 16, True, False),
+        # 13B on one 16 GB chip (BASELINE config #2): int4 weights are what
+        # make it fit; lower throughput than 7B-int8 by model size, so it
+        # sits below the 7B headline in the fallback order
+        ("llava-1.5-13b-int4", 8, True, False),
         ("llava-1.5-7b-int8", 4, False, False),
         ("llava-1.5-7b-int8", 1, False, False),
         ("llava-1.5-7b-int4", 1, False, False),
