@@ -233,6 +233,22 @@ def _cache_write(all_vals, all_scales, new, idx, b_idx, positions):
     return all_vals, all_scales
 
 
+def _scan_unroll() -> int:
+    """Layer-scan unroll factor (LLAVA_SCAN_UNROLL, default 1).
+
+    Measured NEGATIVE for serving decode on v5e: unroll=4 dropped the
+    batch-16 headline from 410 to 260 img+tok/s (the unrolled body breaks
+    XLA's in-place aliasing of the scanned KV cache, so cache slices copy
+    per unrolled layer). Kept as an experiment knob; leave at 1.
+    """
+    import os
+
+    try:
+        return max(int(os.environ.get("LLAVA_SCAN_UNROLL", "1")), 1)
+    except ValueError:
+        return 1
+
+
 def _decode_kernel_ok() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -646,6 +662,7 @@ def decoder_forward(
             body,
             (h,),
             (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+            unroll=_scan_unroll(),
         )
         pages, offsets, valid = paged_info[0], paged_info[1], paged_info[2]
         kvp, kvsp = _paged_write_all(
@@ -672,6 +689,7 @@ def decoder_forward(
             body,
             (h, cache.k, cache.v, cache.k_scale, cache.v_scale, jnp.int32(0)),
             params["layers"],
+            unroll=_scan_unroll(),
         )
         new_cache = KVCache(k=ks, v=vs, seg=new_cache_seg,
                             k_scale=kss, v_scale=vss)
@@ -685,7 +703,7 @@ def decoder_forward(
 
         if remat:
             body = jax.checkpoint(body)
-        h, _ = jax.lax.scan(body, h, params["layers"])
+        h, _ = jax.lax.scan(body, h, params["layers"], unroll=_scan_unroll())
         new_cache = None
 
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
