@@ -93,6 +93,7 @@ INDEX_HTML = """<!doctype html>
 <div id="imgbox" class="sketchbox"></div>
 <div id="refbox" class="sketchbox"></div>
 <div id="chat"></div>
+<div class="ctl" id="examples"><span>Examples:</span></div>
 <div class="row"><textarea id="msg" placeholder="Ask about the image... (draw on it to add a box prompt)"></textarea>
 <button id="send">Send</button><button id="clear">Clear</button></div>
 <div class="ctl votes">
@@ -111,6 +112,23 @@ topp.oninput = () => toppv.textContent = topp.value;
 fetch('/api/models', {method:'POST'}).then(r=>r.json()).then(d=>{
   for (const m of d.models) { const o=document.createElement('option');
     o.textContent=m; model.appendChild(o); }
+});
+function setImageFromB64(b64){
+  const bytes = Uint8Array.from(atob(b64), c=>c.charCodeAt(0));
+  const f = new File([bytes], 'example.png', {type:'image/png'});
+  const dt = new DataTransfer(); dt.items.add(f);
+  img.files = dt.files;
+  img.dispatchEvent(new Event('change'));
+}
+fetch('/api/examples', {method:'POST'}).then(r=>r.json()).then(d=>{
+  const row = document.getElementById('examples');
+  d.examples.forEach((ex, i)=>{
+    const b=document.createElement('button');
+    b.textContent='Example '+(i+1);
+    b.title=ex.text;
+    b.onclick=()=>{ setImageFromB64(ex.image); msg.value=ex.text; };
+    row.appendChild(b);
+  });
 });
 function add(cls, text){const d=document.createElement('div');d.className=cls;
   d.textContent=text;chat.appendChild(d);chat.scrollTop=chat.scrollHeight;return d;}
@@ -274,6 +292,41 @@ def _apply_process_mode(image, mode: str):
     raise ValueError(f"Invalid image_process_mode: {mode}")
 
 
+def _example_prompts():
+    """Two demo (image, prompt) pairs, mirroring the reference UI's
+    gr.Examples (gradio_web_server.py:333-336). The reference bundles
+    photographs; here the images are drawn procedurally so the repo stays
+    binary-free — the point is the one-click demo flow, not the pixels."""
+    import base64
+    import io
+
+    from PIL import Image, ImageDraw
+
+    def b64(im):
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    # scene 1: red circle balanced on a blue box ("what is unusual")
+    im1 = Image.new("RGB", (336, 336), (236, 240, 246))
+    d = ImageDraw.Draw(im1)
+    d.rectangle([40, 290, 296, 320], fill=(90, 90, 90))          # road
+    d.rectangle([120, 180, 216, 290], fill=(60, 90, 200))        # box
+    d.ellipse([138, 100, 198, 160], fill=(200, 60, 60))          # ball on top
+    # scene 2: lake with a warning sign ("what should I be cautious about")
+    im2 = Image.new("RGB", (336, 336), (205, 228, 245))
+    d = ImageDraw.Draw(im2)
+    d.rectangle([0, 210, 336, 336], fill=(70, 130, 180))          # water
+    d.polygon([(60, 120), (110, 200), (10, 200)], fill=(240, 200, 50))
+    d.text((48, 150), "!", fill=(0, 0, 0))
+    return [
+        {"image": b64(im1), "text": "What is unusual about this image?"},
+        {"image": b64(im2),
+         "text": "What are the things I should be cautious about "
+                 "when I visit here?"},
+    ]
+
+
 def build_app(controller_addr: str, llava_plus: bool = False,
               conv_mode: str = "v1", moderate: bool = False):
     import asyncio
@@ -288,6 +341,10 @@ def build_app(controller_addr: str, llava_plus: bool = False,
     @routes.get("/")
     async def index(request):
         return web.Response(text=INDEX_HTML, content_type="text/html")
+
+    @routes.post("/api/examples")
+    async def examples(request):
+        return web.json_response({"examples": _example_prompts()})
 
     @routes.post("/api/models")
     async def models(request):

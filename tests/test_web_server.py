@@ -60,3 +60,18 @@ def test_vote_logged(topology, tmp_path):
         json={"type": "upvote", "model": "web-model"}, timeout=5,
     )
     assert r.status_code == 200
+
+
+def test_examples_endpoint():
+    """/api/examples returns two (image, prompt) demo pairs (reference
+    gr.Examples parity, gradio_web_server.py:333-336)."""
+    import base64
+
+    from llava_plus_tpu.serve.web_server import _example_prompts
+
+    ex = _example_prompts()
+    assert len(ex) == 2
+    for e in ex:
+        assert e["text"]
+        raw = base64.b64decode(e["image"])
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
