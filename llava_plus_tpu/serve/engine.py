@@ -71,6 +71,8 @@ class _Slot:
     # column for it is that same token and must not be emitted twice
     skip_next_emit: bool = False
     pages: List[int] = dataclasses.field(default_factory=list)
+    # prompt + generated token ids (prompt-lookup speculation source)
+    history: List[int] = dataclasses.field(default_factory=list)
 
 
 class _PoolExhausted(Exception):
@@ -94,6 +96,7 @@ class BatchedEngine:
         paged: bool = False,
         page_size: int = 128,
         pool_tokens: Optional[int] = None,
+        speculate: int = 0,
     ):
         """``paged=True`` switches the KV cache to a paged pool: pages are
         allocated per request for prompt + budget, so long contexts
@@ -116,6 +119,13 @@ class BatchedEngine:
         self.decode_chunk = max(decode_chunk, 1)
         self.paged = paged
         self.page_size = page_size
+        # prompt-lookup speculative decoding (greedy-exact): propose k
+        # tokens by n-gram match against prompt+output, verify in ONE
+        # multi-token step. Decode is bandwidth-bound, so a (k+1)-token
+        # verify costs about one step; accepted tokens are free.
+        self.speculate = max(int(speculate), 0)
+        if self.speculate:
+            assert not paged, "speculation uses the dense-cache engine"
         if paged:
             assert cfg.language_model_type == "llama", \
                 "paged KV cache currently supports the llama decoder"
@@ -134,6 +144,8 @@ class BatchedEngine:
         from collections import deque
 
         self.ttfts: "deque[float]" = deque(maxlen=512)
+        self.spec_steps = 0
+        self.spec_emitted = 0
 
         self._build_programs()
 
@@ -337,11 +349,31 @@ class BatchedEngine:
             )(keys, filtered)
             return jnp.where(temperature <= 0.0, greedy, sampled)
 
+        @functools.partial(
+            jax.jit, static_argnames=("k",), donate_argnums=(1,)
+        )
+        def verify(params, cache, tokens, positions, seg, keys,
+                   temperature, top_p, *, k):
+            """Speculative verify: tokens [B, k+1] (current + k proposals)
+            in ONE cache step. Returns per-position greedy continuations
+            (exact-match acceptance host-side) plus a sampled token for
+            position 0 (slots with temperature > 0 fall back to 1
+            token/step)."""
+            logits, cache = llava_model.decode_step(
+                params, cfg, tokens, positions, seg, cache
+            )                                       # [B, k+1, V]
+            greedy = jnp.argmax(logits, axis=-1)    # [B, k+1]
+            sampled0 = _sample_batch(
+                logits[:, 0], keys, temperature, top_p
+            )                                       # [B]
+            return greedy, sampled0, cache
+
         self._prefill = prefill
         self._insert = insert
         self._insert_paged = insert_paged
         self._decode = decode
         self._decode_n = decode_n
+        self._verify = verify
 
     # -- public API ----------------------------------------------------
 
@@ -459,6 +491,8 @@ class BatchedEngine:
         slot.budget = budget
         slot.key = key
         slot.pages = pages
+        slot.history = [int(t) for t in
+                        np.asarray(batch.tokens[0])[:prompt_len]]
 
         # Emit the prefill's sampled token NOW (this fetch is also the
         # barrier on the prefill program): the client's TTFT is the prefill
@@ -479,6 +513,7 @@ class BatchedEngine:
             finished = True
         else:
             slot.out_ids.append(tid)
+            slot.history.append(tid)
             slot.budget -= 1
             text = self.tokenizer.decode(slot.out_ids, skip_special_tokens=True)
             for stop_s in req.stop_strings:
@@ -506,6 +541,109 @@ class BatchedEngine:
                 continue
             self._emit_token(slot, int(tokens_host[i]))
 
+    def _propose(self, slot: "_Slot", k: int) -> List[int]:
+        """Prompt-lookup proposal: match the longest recent n-gram
+        (n = 3, 2, 1) of the history against itself and propose the k
+        tokens that followed the earlier occurrence."""
+        h = slot.history
+        L = len(h)
+        for n in (3, 2, 1):
+            if L <= n:
+                continue
+            tail = h[-n:]
+            # search latest earlier occurrence (skip the tail itself)
+            for j in range(L - n - 1, -1, -1):
+                if h[j:j + n] == tail:
+                    cont = h[j + n:j + n + k]
+                    if cont:
+                        return (cont + [0] * k)[:k]
+                    break
+        return [0] * k
+
+    def _spec_step(self, active_idx):
+        """One speculative decode iteration: verify current token + k
+        proposals per slot in one program; accept the exactly-matching
+        greedy prefix (greedy slots), or one sampled token (temp > 0)."""
+        k = self.speculate
+        B = self.max_slots
+        tokens = np.zeros((B, k + 1), np.int32)
+        positions = np.full((B, k + 1), self.max_seq_len, np.int32)
+        seg = np.zeros((B, k + 1), np.int32)
+        temps = np.zeros((B,), np.float32)
+        tops = np.ones((B,), np.float32)
+        subs = []
+        cur = np.asarray(jax.device_get(self.tokens))[:, 0]
+        proposals = {}
+        for i, slot in enumerate(self._slots):
+            if slot.request is None:
+                subs.append(jax.random.PRNGKey(0))
+                continue
+            slot.skip_next_emit = False
+            req = slot.request
+            temps[i] = req.temperature
+            tops[i] = req.top_p
+            tokens[i, 0] = cur[i]
+            positions[i, 0] = slot.pos
+            seg[i, 0] = 1
+            if req.temperature <= 0.0:
+                prop = self._propose(slot, k)
+                proposals[i] = prop
+                for j, t in enumerate(prop):
+                    pos = slot.pos + 1 + j
+                    if pos < self.max_seq_len:
+                        tokens[i, 1 + j] = t
+                        positions[i, 1 + j] = pos
+                        seg[i, 1 + j] = 1
+            slot.key, sub = jax.random.split(slot.key)
+            subs.append(sub)
+
+        greedy, sampled0, self.cache = self._verify(
+            self.params, self.cache, jnp.asarray(tokens),
+            jnp.asarray(positions), jnp.asarray(seg), jnp.stack(subs),
+            jnp.asarray(temps), jnp.asarray(tops), k=k,
+        )
+        greedy = np.asarray(jax.device_get(greedy))
+        sampled0 = np.asarray(jax.device_get(sampled0))
+
+        self.spec_steps += 1
+        next_tokens = cur.copy()
+        for i, slot in enumerate(self._slots):
+            if slot.request is None:
+                continue
+            req = slot.request
+            if req.temperature > 0.0:
+                tid = int(sampled0[i])
+                slot.pos += 1
+                next_tokens[i] = tid
+                self._emit_token(slot, tid)
+                continue
+            prop = proposals[i]
+            emitted = 0
+            finished = False
+            # column j's greedy output is the token AFTER tokens[:, j];
+            # accept while it equals the next proposal
+            for j in range(k + 1):
+                if positions[i, j] >= self.max_seq_len or seg[i, j] == 0:
+                    break
+                tid = int(greedy[i, j])
+                finished = self._emit_token(slot, tid)
+                emitted += 1
+                if finished:
+                    break
+                if j < k and (seg[i, 1 + j] == 0 or prop[j] != tid):
+                    break
+            self.spec_emitted += emitted
+            if not finished:
+                slot.pos += emitted
+                next_tokens[i] = int(greedy[i, emitted - 1]) if emitted \
+                    else int(cur[i])
+        self.tokens = jnp.asarray(next_tokens[:, None])
+
+    @property
+    def spec_acceptance(self) -> float:
+        """Mean tokens emitted per speculative step (>= 1.0; k+1 max)."""
+        return self.spec_emitted / self.spec_steps if self.spec_steps else 0.0
+
     def _loop(self):
         while not self._stop.is_set():
             self._admit()
@@ -514,6 +652,10 @@ class BatchedEngine:
             ]
             if not active_idx:
                 time.sleep(self.idle_sleep)
+                continue
+
+            if self.speculate:
+                self._spec_step(active_idx)
                 continue
 
             # Adaptive chunking: with requests waiting to admit, run a short

@@ -78,7 +78,8 @@ class JaxBackend:
                  kv_int8: bool = False, tp: int = 1,
                  paged: bool = False, max_seq_len: Optional[int] = None,
                  pool_tokens: Optional[int] = None,
-                 rope_scaling: Optional[str] = None):
+                 rope_scaling: Optional[str] = None,
+                 speculate: int = 0):
         from llava_plus_tpu.models.builder import load_pretrained_model
 
         (self.tokenizer, params, self.cfg, self.image_processor,
@@ -127,6 +128,7 @@ class JaxBackend:
                 max_slots=max_slots, max_seq_len=self.context_len,
                 decode_chunk=decode_chunk, cache_dtype=cache_dtype,
                 mesh=mesh, paged=paged, pool_tokens=pool_tokens,
+                speculate=speculate,
             )
         self.generator = None if use_engine else Generator(
             params, self.cfg, self.tokenizer, self.image_processor,
@@ -466,6 +468,9 @@ def main():
     parser.add_argument("--rope-scaling", type=str, default=None,
                         help="override rope scaling, e.g. dynamic:2.0 or "
                              "linear:4.0 (serve past the trained context)")
+    parser.add_argument("--speculate", type=int, default=0,
+                        help="prompt-lookup speculative decoding: propose N "
+                             "tokens per step (greedy streams; exact)")
     args = parser.parse_args()
     logger.info(f"args: {args}")
 
@@ -484,6 +489,7 @@ def main():
             decode_chunk=args.decode_chunk, kv_int8=args.kv_int8,
             tp=args.tp, paged=args.paged, max_seq_len=args.max_seq_len,
             pool_tokens=args.pool_tokens, rope_scaling=args.rope_scaling,
+            speculate=args.speculate,
         )
         model_names = [name]
 

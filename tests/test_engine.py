@@ -159,3 +159,81 @@ def test_engine_tensor_parallel_matches(setup):
         assert got == ref
     finally:
         etp.stop()
+
+
+def test_speculative_matches_plain_greedy():
+    """Prompt-lookup speculation must be EXACT for greedy streams: same
+    text as the plain engine, token for token."""
+    cfg = tiny_llava_config()
+    params = llava_model.init_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.float32
+    )
+    tok = CharTokenizer()
+
+    prompts = ["the cat sat on the mat the cat sat on the",
+               "abc abc abc abc abc"]
+
+    def run(speculate):
+        eng = BatchedEngine(
+            params, cfg, tok, max_slots=2, max_seq_len=96,
+            prefill_bucket=32, cache_dtype=jnp.float32,
+            speculate=speculate,
+        )
+        try:
+            reqs = [Request(prompt=p, max_new_tokens=12, temperature=0.0)
+                    for p in prompts]
+            return [eng.generate(r) for r in reqs]
+        finally:
+            eng.stop()
+
+    plain = run(0)
+    spec = run(4)
+    assert spec == plain
+
+
+def test_speculative_mixed_temperature():
+    """Sampled (temp > 0) streams coexist with greedy speculation: both
+    finish, greedy output still matches the plain engine."""
+    cfg = tiny_llava_config()
+    params = llava_model.init_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.float32
+    )
+    tok = CharTokenizer()
+    plain = BatchedEngine(
+        params, cfg, tok, max_slots=2, max_seq_len=96,
+        prefill_bucket=32, cache_dtype=jnp.float32,
+    )
+    try:
+        ref = plain.generate(
+            Request(prompt="aba aba aba", max_new_tokens=8, temperature=0.0)
+        )
+    finally:
+        plain.stop()
+
+    eng = BatchedEngine(
+        params, cfg, tok, max_slots=2, max_seq_len=96,
+        prefill_bucket=32, cache_dtype=jnp.float32, speculate=3,
+    )
+    try:
+        greedy_req = Request(
+            prompt="aba aba aba", max_new_tokens=8, temperature=0.0
+        )
+        sampled_req = Request(
+            prompt="xyz xyz", max_new_tokens=8, temperature=0.8, seed=7
+        )
+        results = {}
+        ts = []
+        for name, r in (("g", greedy_req), ("s", sampled_req)):
+            t = threading.Thread(
+                target=lambda n=name, rq=r: results.__setitem__(
+                    n, eng.generate(rq))
+            )
+            t.start()
+            ts.append(t)
+        for t in ts:
+            t.join(timeout=300)
+        assert results["g"] == ref
+        assert "s" in results  # sampled stream completed
+        assert eng.spec_steps > 0
+    finally:
+        eng.stop()

@@ -174,3 +174,32 @@ def test_rope_dynamic_ntk_static_theta():
     # scaled frequencies are strictly lower than unscaled ones at the same
     # position (except freq index 0 where both are 1.0 at pos 0)
     assert float(jnp.abs(cos_s - cos_u).max()) > 1e-3
+
+
+def test_dense_cache_multitoken_continuation(hf_model):
+    """Feeding several tokens at once through the dense cache (the
+    speculative-verify shape) must equal one-at-a-time decode."""
+    params, cfg = _our_params(hf_model)
+    rng = np.random.default_rng(5)
+    T0, K = 6, 3
+    ids = jnp.asarray(rng.integers(0, 128, size=(1, T0 + K)), jnp.int32)
+
+    full, _ = llama.forward(params, cfg, ids, attn_impl="xla")
+
+    cache = llama.KVCache.create(cfg, batch=1, max_len=16, dtype=jnp.float32)
+    pos0 = jnp.arange(T0, dtype=jnp.int32)[None]
+    _, cache = llama.forward(
+        params, cfg, ids[:, :T0], positions=pos0,
+        segment_ids=jnp.ones((1, T0), jnp.int32), cache=cache,
+        attn_impl="xla", fresh_prefill=True,
+    )
+    # multi-token continuation: K tokens in one call
+    posk = jnp.arange(T0, T0 + K, dtype=jnp.int32)[None]
+    logits, cache = llama.forward(
+        params, cfg, ids[:, T0:], positions=posk,
+        segment_ids=jnp.ones((1, K), jnp.int32), cache=cache,
+        attn_impl="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full[:, T0:]), atol=1e-4, rtol=1e-3
+    )
