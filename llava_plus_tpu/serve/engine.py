@@ -366,7 +366,10 @@ class BatchedEngine:
             sampled0 = _sample_batch(
                 logits[:, 0], keys, temperature, top_p
             )                                       # [B]
-            return greedy, sampled0, cache
+            # one [B, k+2] output -> ONE host fetch per step
+            return jnp.concatenate(
+                [greedy, sampled0[:, None]], axis=1
+            ), cache
 
         self._prefill = prefill
         self._insert = insert
@@ -572,7 +575,12 @@ class BatchedEngine:
         temps = np.zeros((B,), np.float32)
         tops = np.ones((B,), np.float32)
         subs = []
-        cur = np.asarray(jax.device_get(self.tokens))[:, 0]
+        # host mirror: the current token is always host-known (prefill
+        # fetched it; verify outputs are fetched) — no device round trip
+        cur = np.array([
+            (slot.history[-1] if slot.request is not None and slot.history
+             else 0) for slot in self._slots
+        ], np.int32)
         proposals = {}
         for i, slot in enumerate(self._slots):
             if slot.request is None:
@@ -597,16 +605,15 @@ class BatchedEngine:
             slot.key, sub = jax.random.split(slot.key)
             subs.append(sub)
 
-        greedy, sampled0, self.cache = self._verify(
+        out, self.cache = self._verify(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(positions), jnp.asarray(seg), jnp.stack(subs),
             jnp.asarray(temps), jnp.asarray(tops), k=k,
         )
-        greedy = np.asarray(jax.device_get(greedy))
-        sampled0 = np.asarray(jax.device_get(sampled0))
+        out = np.asarray(jax.device_get(out))
+        greedy, sampled0 = out[:, :-1], out[:, -1]
 
         self.spec_steps += 1
-        next_tokens = cur.copy()
         for i, slot in enumerate(self._slots):
             if slot.request is None:
                 continue
@@ -614,7 +621,6 @@ class BatchedEngine:
             if req.temperature > 0.0:
                 tid = int(sampled0[i])
                 slot.pos += 1
-                next_tokens[i] = tid
                 self._emit_token(slot, tid)
                 continue
             prop = proposals[i]
@@ -635,9 +641,6 @@ class BatchedEngine:
             self.spec_emitted += emitted
             if not finished:
                 slot.pos += emitted
-                next_tokens[i] = int(greedy[i, emitted - 1]) if emitted \
-                    else int(cur[i])
-        self.tokens = jnp.asarray(next_tokens[:, None])
 
     @property
     def spec_acceptance(self) -> float:
