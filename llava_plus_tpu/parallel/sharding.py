@@ -36,13 +36,11 @@ def llama_param_specs(fsdp: str = "fsdp", tp: str = "tp"):
                 "wq": P(None, fsdp, tp),   # [L, D, H*Dh]
                 "wk": P(None, fsdp, tp),
                 "wv": P(None, fsdp, tp),
-                "wqkv": P(None, fsdp, tp),  # inference-fused (quant)
                 "wo": P(None, tp, fsdp),   # [L, H*Dh, D]
             },
             "mlp": {
                 "w_gate": P(None, fsdp, tp),  # [L, D, F]
                 "w_up": P(None, fsdp, tp),
-                "w_gateup": P(None, fsdp, tp),  # inference-fused (quant)
                 "w_down": P(None, tp, fsdp),  # [L, F, D]
             },
             "input_norm": P(None, None),

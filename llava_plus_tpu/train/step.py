@@ -114,8 +114,16 @@ def place_params(params, mesh: Mesh, cfg: LlavaConfig):
                     p[quant.SKEY], NamedSharding(mesh, qs["scale8"])),
             }
         if isinstance(p, dict):
-            return {k: walk(v, s[k] if isinstance(s, dict) else s)
-                    for k, v in p.items()}
+            # inference-fused matrices (quant.fuse_llama_matrices) share
+            # the unfused key's rule (same dim semantics, wider output)
+            alias = {"wqkv": "wq", "w_gateup": "w_gate"}
+
+            def spec_for(k):
+                if not isinstance(s, dict):
+                    return s
+                return s.get(k, s.get(alias.get(k, k)))
+
+            return {k: walk(v, spec_for(k)) for k, v in p.items()}
         if isinstance(p, (list, tuple)):
             return type(p)(
                 walk(v, s[i] if isinstance(s, (list, tuple)) else s)
