@@ -7,8 +7,11 @@ decode step over a fixed pool of B slots; requests join (prefill into a free
 slot) and leave (eos/stop/budget) between steps, so the bandwidth-bound
 decode cost is shared by every active request.
 
-Shapes are fixed (B slots x cache_len) -> exactly two compiled programs:
-bucketed prefill (batch 1) and the batched decode step.
+Shapes are fixed (B slots x cache_len) -> a handful of compiled programs:
+bucketed prefill (batch 1), the batched decode step (single and chunked),
+and optionally the speculative verify step (``speculate=k``: current token
++ k prompt-lookup proposals checked in one multi-token cache pass) or the
+paged-pool variants (``paged=True``).
 """
 
 from __future__ import annotations
