@@ -149,6 +149,13 @@ class BatchedEngine:
         self.ttfts: "deque[float]" = deque(maxlen=512)
         self.spec_steps = 0
         self.spec_emitted = 0
+        # adaptive gating: recent per-step acceptance; when speculation
+        # is not paying (content not repetitive), decode plain chunks and
+        # re-probe periodically instead of paying the verify overhead
+        self._spec_recent: "deque[int]" = deque(maxlen=32)
+        self._spec_pause = 0
+        self.spec_pause_len = 64  # plain chunks decoded per re-probe cycle
+        self.spec_pauses = 0      # times adaptive gating kicked in
 
         self._build_programs()
 
@@ -642,6 +649,7 @@ class BatchedEngine:
                 if j < k and (seg[i, 1 + j] == 0 or prop[j] != tid):
                     break
             self.spec_emitted += emitted
+            self._spec_recent.append(emitted)
             if not finished:
                 slot.pos += emitted
 
@@ -661,8 +669,40 @@ class BatchedEngine:
                 continue
 
             if self.speculate:
-                self._spec_step(active_idx)
-                continue
+                if self._spec_pause > 0:
+                    # paused: fall through to plain chunked decode below
+                    self._spec_pause -= 1
+                    if self._spec_pause == 0:
+                        # plain -> spec: the plain pipeline holds one not-
+                        # yet-emitted token in self.tokens; emit it so the
+                        # host mirror (slot.history) is current again
+                        self._emit_column(
+                            np.asarray(jax.device_get(self.tokens))[:, 0]
+                        )
+                        self._spec_recent.clear()
+                        self._spec_step(active_idx)
+                        continue
+                else:
+                    self._spec_step(active_idx)
+                    if (len(self._spec_recent) == self._spec_recent.maxlen
+                            and (sum(self._spec_recent)
+                                 / len(self._spec_recent)) < 1.3):
+                        # acceptance too low to beat the verify overhead:
+                        # decode plainly for a while, then re-probe.
+                        # spec -> plain: seed the pipeline with the (already
+                        # emitted) current tokens and skip their re-emission
+                        self._spec_pause = self.spec_pause_len
+                        self.spec_pauses += 1
+                        cur = np.array(
+                            [(sl.history[-1] if sl.request is not None
+                              and sl.history else 0)
+                             for sl in self._slots], np.int32,
+                        )
+                        self.tokens = jnp.asarray(cur[:, None])
+                        for sl in self._slots:
+                            if sl.request is not None:
+                                sl.skip_next_emit = True
+                    continue
 
             # Adaptive chunking: with requests waiting to admit, run a short
             # chunk so the next admission point arrives sooner (loaded TTFT

@@ -237,3 +237,41 @@ def test_speculative_mixed_temperature():
         assert eng.spec_steps > 0
     finally:
         eng.stop()
+
+
+def test_speculative_pause_resume_exact():
+    """Adaptive gating: when acceptance is low the engine flips to plain
+    chunks and back; output must stay identical to the plain engine
+    across both transitions."""
+    cfg = tiny_llava_config()
+    params = llava_model.init_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.float32
+    )
+    tok = CharTokenizer()
+    prompt = "qwertzuiopasdfgh"  # unlikely to produce matchable n-grams
+
+    plain = BatchedEngine(
+        params, cfg, tok, max_slots=1, max_seq_len=256,
+        prefill_bucket=32, cache_dtype=jnp.float32,
+    )
+    try:
+        ref = plain.generate(
+            Request(prompt=prompt, max_new_tokens=60, temperature=0.0)
+        )
+    finally:
+        plain.stop()
+
+    eng = BatchedEngine(
+        params, cfg, tok, max_slots=1, max_seq_len=256,
+        prefill_bucket=32, cache_dtype=jnp.float32, speculate=3,
+    )
+    eng._spec_recent = __import__("collections").deque(maxlen=6)
+    eng.spec_pause_len = 5  # force several pause/resume cycles in 60 tokens
+    try:
+        got = eng.generate(
+            Request(prompt=prompt, max_new_tokens=60, temperature=0.0)
+        )
+    finally:
+        eng.stop()
+    assert got == ref
+    assert eng.spec_pauses >= 1  # gating actually cycled
