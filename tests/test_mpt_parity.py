@@ -126,3 +126,39 @@ def test_prefix_lm_visibility():
     # the purely-causal run.
     logits_causal, _ = mpt.forward(params, cfg, ids, attn_impl="xla")
     assert not np.allclose(np.asarray(logits[0, 0]), np.asarray(logits_causal[0, 0]))
+
+
+def test_mpt_multitoken_continuation():
+    """Several tokens at once through the MPT cache (the speculative-verify
+    shape) must equal full-sequence logits."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from llava_plus_tpu.models import mpt
+    from llava_plus_tpu.models.configs import MptConfig
+
+    cfg = MptConfig(d_model=64, n_heads=4, n_layers=2, vocab_size=128,
+                    max_seq_len=64)
+    params = mpt.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, 120, size=(1, 9)), jnp.int32)
+    full, _ = mpt.forward(params, cfg, ids, attn_impl="xla")
+
+    cache = mpt.create_cache(cfg, 1, 16, jnp.float32)
+    pos0 = jnp.arange(6, dtype=jnp.int32)[None]
+    _, cache = mpt.forward(
+        params, cfg, ids[:, :6], positions=pos0,
+        segment_ids=jnp.ones((1, 6), jnp.int32), cache=cache,
+        attn_impl="xla",
+    )
+    posk = jnp.arange(6, 9, dtype=jnp.int32)[None]
+    logits, cache = mpt.forward(
+        params, cfg, ids[:, 6:], positions=posk,
+        segment_ids=jnp.ones((1, 3), jnp.int32), cache=cache,
+        attn_impl="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full[:, 6:]), atol=1e-4, rtol=1e-3
+    )
