@@ -133,9 +133,22 @@ def llama_params_from_state_dict(
 
 def llama_config_from_hf(d: dict) -> LlamaConfig:
     rs = d.get("rope_scaling") or {}
+    rs_type = rs.get("type") or rs.get("rope_type")
+    if rs_type not in (None, "linear", "dynamic"):
+        # llama3 / yarn / longrope etc. are not implemented; ignore the
+        # scaling (the model still loads and runs within its base context,
+        # matching the pre-rope-scaling behavior) rather than crash at
+        # the first forward.
+        import warnings
+
+        warnings.warn(
+            f"unsupported rope_scaling type {rs_type!r}: ignoring "
+            "(supported: linear, dynamic)"
+        )
+        rs_type = None
     return LlamaConfig(
-        rope_scaling_type=rs.get("type") or rs.get("rope_type"),
-        rope_scaling_factor=rs.get("factor", 1.0),
+        rope_scaling_type=rs_type,
+        rope_scaling_factor=rs.get("factor", 1.0) if rs_type else 1.0,
         vocab_size=d["vocab_size"],
         hidden_size=d["hidden_size"],
         intermediate_size=d["intermediate_size"],

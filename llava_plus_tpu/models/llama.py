@@ -104,6 +104,12 @@ class PagedKVCache:
     kv: jax.Array
     seg: jax.Array
     page_table: jax.Array
+    # tokens allocated per slot (pages * page_size). Writes at positions
+    # >= alloc are DROPPED: page_table filler entries are 0, and without
+    # this mask a decode chunk running past a slot's allocation (budget
+    # exhausts mid-chunk) would scatter garbage into page 0 — a page that
+    # may belong to another live request.
+    alloc: jax.Array = None
     kv_scale: Optional[jax.Array] = None
 
     @classmethod
@@ -117,6 +123,8 @@ class PagedKVCache:
             kv=jnp.zeros(shape, dtype),
             seg=jnp.zeros((batch, max_pages_per_slot * page_size), jnp.int32),
             page_table=jnp.zeros((batch, max_pages_per_slot), jnp.int32),
+            alloc=jnp.full((batch,), max_pages_per_slot * page_size,
+                           jnp.int32),
             kv_scale=(jnp.zeros(shape[:-1], jnp.float32)
                       if quantized else None),
         )
@@ -339,12 +347,14 @@ def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
     if scaling_type == "linear":
         pos = pos / scaling_factor
     elif scaling_type == "dynamic":
-        # NTK-aware: theta' = theta * (factor*L/L - (factor-1))^(d/(d-2))
-        # evaluated at seq_len == factor * max_position (the target length)
-        # -> theta * (2*factor - 1)^(d/(d-2)); matches HF at full length.
-        theta = theta * (2.0 * scaling_factor - 1.0) ** (
-            head_dim / (head_dim - 2)
-        )
+        # NTK-aware: theta' = theta * ((factor*s/L) - (factor-1))^(d/(d-2))
+        # evaluated at the target length s == factor * L ->
+        # theta * (factor^2 - factor + 1)^(d/(d-2)); matches HF's
+        # LlamaDynamicNTKScalingRotaryEmbedding at full length for every
+        # factor (the earlier 2*factor-1 only coincided at factor == 2).
+        theta = theta * (
+            scaling_factor * scaling_factor - scaling_factor + 1.0
+        ) ** (head_dim / (head_dim - 2))
     elif scaling_type is not None:
         raise ValueError(f"unknown rope_scaling type: {scaling_type}")
     inv_freq = 1.0 / (
@@ -631,7 +641,8 @@ def decoder_forward(
             pidx = jnp.clip(positions // P, 0, maxp - 1)
             pages = jnp.take_along_axis(cache.page_table, pidx, axis=1)
             offsets = positions % P
-            valid = (positions < cache.max_len) & (segment_ids > 0)
+            valid = ((positions < cache.max_len) & (segment_ids > 0)
+                     & (positions < cache.alloc[:, None]))
             # PAST tokens per slot (pool-resident; the current chunk is
             # attended directly and written after the layer scan)
             past_len = jnp.where(
@@ -671,7 +682,7 @@ def decoder_forward(
         )
         new_cache = PagedKVCache(
             kv=kvp, seg=new_cache_seg, page_table=cache.page_table,
-            kv_scale=kvsp,
+            alloc=cache.alloc, kv_scale=kvsp,
         )
     elif cache is not None:
         def body(carry, lp):

@@ -191,6 +191,7 @@ class BatchedEngine:
                     kv=jax.device_put(cache.kv, head),
                     seg=jax.device_put(cache.seg, rep),
                     page_table=jax.device_put(cache.page_table, rep),
+                    alloc=jax.device_put(cache.alloc, rep),
                     kv_scale=(None if cache.kv_scale is None
                               else jax.device_put(cache.kv_scale, shead)),
                 )
@@ -266,7 +267,8 @@ class BatchedEngine:
             return cache, tokens
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def insert_paged(cache, cache1, slot, pages_vec, first_token, tokens):
+        def insert_paged(cache, cache1, slot, pages_vec, n_alloc,
+                         first_token, tokens):
             """Scatter a single-request dense prefill cache (bucket-sized)
             into the combined paged pool at this slot's allocated pages."""
             L, _, S1, Hkv, Dh = cache1.k.shape
@@ -295,6 +297,7 @@ class BatchedEngine:
                 kv=kv,
                 seg=cache.seg.at[slot].set(seg_row),
                 page_table=cache.page_table.at[slot].set(pages_vec),
+                alloc=cache.alloc.at[slot].set(n_alloc),
                 kv_scale=kv_scale,
             )
             tokens = jax.lax.dynamic_update_index_in_dim(
@@ -490,7 +493,8 @@ class BatchedEngine:
                 (pages + [0] * maxp)[:maxp], jnp.int32
             )
             self.cache, self.tokens = self._insert_paged(
-                self.cache, cache1, slot_id, pages_vec, first[None],
+                self.cache, cache1, slot_id, pages_vec,
+                jnp.int32(len(pages) * self.page_size), first[None],
                 self.tokens,
             )
         else:
@@ -554,6 +558,15 @@ class BatchedEngine:
                 continue
             self._emit_token(slot, int(tokens_host[i]))
 
+    def _current_tokens(self) -> np.ndarray:
+        """Host mirror of each slot's current token (= last emitted token,
+        slot.history tail) — the speculative pipeline never round-trips
+        the device for it."""
+        return np.array([
+            (slot.history[-1] if slot.request is not None and slot.history
+             else 0) for slot in self._slots
+        ], np.int32)
+
     def _propose(self, slot: "_Slot", k: int) -> List[int]:
         """Prompt-lookup proposal: match the longest recent n-gram
         (n = 3, 2, 1) of the history against itself and propose the k
@@ -585,12 +598,7 @@ class BatchedEngine:
         temps = np.zeros((B,), np.float32)
         tops = np.ones((B,), np.float32)
         subs = []
-        # host mirror: the current token is always host-known (prefill
-        # fetched it; verify outputs are fetched) — no device round trip
-        cur = np.array([
-            (slot.history[-1] if slot.request is not None and slot.history
-             else 0) for slot in self._slots
-        ], np.int32)
+        cur = self._current_tokens()
         proposals = {}
         for i, slot in enumerate(self._slots):
             if slot.request is None:
@@ -693,12 +701,9 @@ class BatchedEngine:
                         # emitted) current tokens and skip their re-emission
                         self._spec_pause = self.spec_pause_len
                         self.spec_pauses += 1
-                        cur = np.array(
-                            [(sl.history[-1] if sl.request is not None
-                              and sl.history else 0)
-                             for sl in self._slots], np.int32,
+                        self.tokens = jnp.asarray(
+                            self._current_tokens()[:, None]
                         )
-                        self.tokens = jnp.asarray(cur[:, None])
                         for sl in self._slots:
                             if sl.request is not None:
                                 sl.skip_next_emit = True

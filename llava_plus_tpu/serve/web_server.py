@@ -205,9 +205,13 @@ send.onclick = async () => {
         chat.insertBefore(pd, out); }
       if(d.tool){ const det=document.createElement('details');
         det.className='tool';
-        det.innerHTML = '<summary>'+d.tool.api_name+' output</summary>' +
-          '<pre>'+JSON.stringify(d.tool.response, null, 1)
-            .replace(/&/g,'&amp;').replace(/</g,'&lt;')+'</pre>';
+        // build via DOM, never innerHTML: api_name is model-generated
+        // text (prompt-injectable) and must not be parsed as HTML
+        const sum=document.createElement('summary');
+        sum.textContent = d.tool.api_name + ' output';
+        const pre=document.createElement('pre');
+        pre.textContent = JSON.stringify(d.tool.response, null, 1);
+        det.appendChild(sum); det.appendChild(pre);
         chat.insertBefore(det, out); }
       if(d.image){const im=document.createElement('img');im.className='result';
         im.src='data:image/png;base64,'+d.image;chat.appendChild(im);}

@@ -2,8 +2,10 @@
 
 On CPU, ``paged_decode_attention`` routes to the gather-based reference —
 the manual-DMA Pallas kernel has no interpret-mode emulation, so its
-numerical parity vs this same reference is asserted on the TPU
-(tools/bench_paged.py --verify and the engine equality tests there).
+numerical parity vs this same reference is asserted on the TPU by
+``test_kernel_matches_reference_on_tpu`` below (skipped off-TPU; run
+``tools/bench_paged.py --verify`` on the chip for the same checks
+standalone).
 """
 
 import numpy as np

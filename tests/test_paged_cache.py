@@ -39,10 +39,9 @@ def test_paged_matches_dense_decode(params, dtype):
         CFG, B, num_pages=6, max_pages_per_slot=2, page_size=PAGE,
         dtype=dtype,
     )
-    paged = llama.PagedKVCache(
-        kv=paged.kv, seg=paged.seg,
-        page_table=jnp.asarray([[3, 1], [0, 4]], jnp.int32),
-        kv_scale=paged.kv_scale,
+    import dataclasses
+    paged = dataclasses.replace(
+        paged, page_table=jnp.asarray([[3, 1], [0, 4]], jnp.int32)
     )
 
     logits_d, dense = llama.forward(
@@ -87,10 +86,9 @@ def test_paged_long_context_beyond_dense(params):
         CFG, B, num_pages=4, max_pages_per_slot=3, page_size=PAGE,
         dtype=jnp.float32,
     )
-    paged = llama.PagedKVCache(
-        kv=paged.kv, seg=paged.seg,
-        page_table=jnp.asarray([[2, 0, 3]], jnp.int32),
-        kv_scale=None,
+    import dataclasses
+    paged = dataclasses.replace(
+        paged, page_table=jnp.asarray([[2, 0, 3]], jnp.int32)
     )
     T0 = PAGE + 16  # prompt crosses a page boundary
     rng = np.random.default_rng(1)
@@ -129,10 +127,9 @@ def test_paged_chunked_prefill_continuation(params):
         CFG, B, num_pages=3, max_pages_per_slot=2, page_size=PAGE,
         dtype=jnp.float32,
     )
-    paged = llama.PagedKVCache(
-        kv=paged.kv, seg=paged.seg,
-        page_table=jnp.asarray([[2, 0]], jnp.int32),
-        kv_scale=None,
+    import dataclasses
+    paged = dataclasses.replace(
+        paged, page_table=jnp.asarray([[2, 0]], jnp.int32)
     )
 
     pos0 = jnp.broadcast_to(jnp.arange(T0, dtype=jnp.int32), (B, T0))
@@ -157,3 +154,33 @@ def test_paged_chunked_prefill_continuation(params):
     np.testing.assert_allclose(
         np.asarray(l1), np.asarray(ref[:, T0:]), atol=1e-4, rtol=1e-4
     )
+
+
+def test_write_beyond_allocation_drops(params):
+    """A decode chunk running past a slot's allocated pages must NOT write
+    through page-table filler entries into page 0 (which may belong to
+    another request). Regression for the budget-exhaustion overrun."""
+    import dataclasses
+
+    B = 1
+    paged = llama.PagedKVCache.create(
+        CFG, B, num_pages=4, max_pages_per_slot=3, page_size=PAGE,
+        dtype=jnp.float32,
+    )
+    # slot allocated ONE page (page 2); filler entries point at page 0
+    paged = dataclasses.replace(
+        paged,
+        page_table=jnp.asarray([[2, 0, 0]], jnp.int32),
+        alloc=jnp.asarray([PAGE], jnp.int32),
+    )
+    page0_before = np.asarray(paged.kv[:, 0])
+
+    # write a token at a position beyond the allocation (page index 1 ->
+    # filler -> page 0 without the alloc mask)
+    pos = jnp.asarray([[PAGE + 3]], jnp.int32)
+    _, paged = llama.forward(
+        params, CFG, jnp.asarray([[7]], jnp.int32), positions=pos,
+        segment_ids=jnp.ones((1, 1), jnp.int32), cache=paged,
+        attn_impl="xla",
+    )
+    np.testing.assert_array_equal(np.asarray(paged.kv[:, 0]), page0_before)

@@ -104,13 +104,61 @@ def main():
                              else f"FAILED\n{proc.stderr[-1000:]}"))
 
 
+def verify_kernel():
+    """Numerical parity of the Pallas paged-decode kernel vs the XLA
+    gather reference, on the real chip (bf16 / int8 / GQA / self-block)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llava_plus_tpu.ops.paged_attention import (
+        paged_attention_reference, paged_decode_attention)
+
+    rng = np.random.default_rng(0)
+    for name, B, H, Hkv, D, maxp, quant in [
+        ("bf16", 8, 32, 32, 128, 16, False),
+        ("int8", 8, 32, 32, 128, 16, True),
+        ("gqa-int8", 4, 32, 8, 128, 8, True),
+    ]:
+        P = 128
+        Np = B * maxp + 3
+        lengths = rng.integers(0, maxp * P, size=B)
+        pt = jnp.asarray(rng.integers(0, Np, size=(B, maxp)), jnp.int32)
+        kv = rng.normal(size=(Np, 2, Hkv, P, D)).astype(np.float32)
+        q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.bfloat16)
+        ck = jnp.asarray(rng.standard_normal((B, 1, Hkv, D)), jnp.bfloat16)
+        cv = jnp.asarray(rng.standard_normal((B, 1, Hkv, D)), jnp.bfloat16)
+        valid = jnp.ones((B,), jnp.int32)
+        scale = None
+        if quant:
+            s = np.abs(kv).max(axis=-1) / 127.0
+            kv = np.clip(np.round(kv / s[..., None]), -127, 127).astype(np.int8)
+            scale = jnp.asarray(s.astype(np.float32))
+            kv = jnp.asarray(kv)
+        else:
+            kv = jnp.asarray(kv, jnp.bfloat16)
+        lens = jnp.asarray(lengths, jnp.int32)
+        got = paged_decode_attention(q, kv, pt, lens, scale, cur_k=ck,
+                                     cur_v=cv, cur_valid=valid,
+                                     interpret=False)
+        ref = paged_attention_reference(q.astype(jnp.float32), kv, pt, lens,
+                                        scale, cur_k=ck, cur_v=cv,
+                                        cur_valid=valid)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref)))
+        print(f"  {name}: max abs err {err:.4f}")
+        assert err < 0.05, name
+    print("  kernel parity OK")
+
+
 if __name__ == "__main__":
     import argparse
 
     _p = argparse.ArgumentParser()
     _p.add_argument("--stage", default=None)
+    _p.add_argument("--verify", action="store_true")
     _a = _p.parse_args()
-    if _a.stage:
+    if _a.verify:
+        verify_kernel()
+    elif _a.stage:
         kw = STAGES[_a.stage]
         total, dt = run_engine(**kw)
         print(f"  {total} tokens in {dt:.1f}s = {total/dt:,.1f} tok/s aggregate",
