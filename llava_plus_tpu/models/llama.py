@@ -407,7 +407,11 @@ def _paged_layer_attention(
     flat_s = (None if kvs_all is None
               else kvs_all.reshape((L * Np,) + kvs_all.shape[2:]))
     flat_ids = page_table + idx * Np
-    if T == 1 and _decode_kernel_ok():
+    # attn_impl == "xla" forces the gather path: pallas_call has no GSPMD
+    # partitioning rule, so under a tp-sharded mesh the kernel would
+    # replicate/all-gather the multi-GB pool per layer. The engine passes
+    # "xla" whenever it serves over a mesh (serve/engine.py).
+    if T == 1 and attn_impl != "xla" and _decode_kernel_ok():
         from llava_plus_tpu.ops.paged_attention import paged_decode_attention
 
         return paged_decode_attention(

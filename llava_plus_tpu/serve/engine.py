@@ -82,6 +82,23 @@ class _PoolExhausted(Exception):
     """Not enough free KV pages to admit; retry after slots finish."""
 
 
+@dataclasses.dataclass
+class _Prepared:
+    """A request whose prefill finished (first token already emitted to
+    the client); waiting for the engine loop to insert it into a slot."""
+
+    req: Request
+    cache1: object          # bucket-sized single-request cache (device)
+    first: jax.Array        # [1] first sampled token (device)
+    first_id: int
+    prompt_len: int
+    budget: int
+    key: jax.Array
+    out_ids: List[int]
+    history: List[int]
+    needed_pages: int
+
+
 class BatchedEngine:
     def __init__(
         self,
@@ -122,6 +139,10 @@ class BatchedEngine:
         self.decode_chunk = max(decode_chunk, 1)
         self.paged = paged
         self.page_size = page_size
+        # Under a tp mesh the paged Pallas kernel has no GSPMD partitioning
+        # rule (the pool would replicate per layer); force the sharded XLA
+        # gather path instead (models/llama.py:_paged_layer_attention).
+        self._attn_impl = "xla" if mesh is not None else "auto"
         # prompt-lookup speculative decoding (greedy-exact): propose k
         # tokens by n-gram match against prompt+output, verify in ONE
         # multi-token step. Decode is bandwidth-bound, so a (k+1)-token
@@ -141,9 +162,10 @@ class BatchedEngine:
             self.num_pages = 0
 
         self._queue: "queue.Queue[Request]" = queue.Queue()
+        self._ready: "queue.Queue[_Prepared]" = queue.Queue()
         self._slots = [_Slot() for _ in range(max_slots)]
         self._stop = threading.Event()
-        self._waiting: Optional[Request] = None  # held back: pool exhausted
+        self._waiting: Optional[_Prepared] = None  # held back: pool exhausted
         from collections import deque
 
         self.ttfts: "deque[float]" = deque(maxlen=512)
@@ -163,6 +185,10 @@ class BatchedEngine:
         self.tokens = jnp.zeros((max_slots, 1), jnp.int32)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+        self._prefill_thread = threading.Thread(
+            target=self._prefill_loop, daemon=True
+        )
+        self._prefill_thread.start()
 
     # ------------------------------------------------------------------
 
@@ -242,19 +268,34 @@ class BatchedEngine:
             )[:, 0]
             return last_logits, cache1
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        # donate only the pool cache (argnum 0): the single-request
+        # cache1's bucket-shaped buffers can never alias the pool-shaped
+        # outputs, and donating them makes XLA emit "donated buffers were
+        # not usable" warnings (a failed alias on the pool itself would
+        # double peak HBM during admission). cache1 is freed by refcount
+        # as soon as the call retires.
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def insert(cache, cache1, slot, first_token, tokens):
-            # copy the single-request cache into slot `slot` of the pool
+            # cache1 is BUCKET-sized (S1 <= max_seq_len): copy only its
+            # stripe into rows [0:S1] of slot `slot` (the prefill never
+            # allocates or copies a full max_seq_len cache). The seg row is
+            # rebuilt from zeros so stale entries from the slot's previous
+            # occupant are never attended.
             def upd(pool, single):
-                return jax.lax.dynamic_update_index_in_dim(
-                    pool, single[:, 0], slot, axis=1
+                return jax.lax.dynamic_update_slice(
+                    pool, single.astype(pool.dtype)[:, :1],
+                    (0, slot) + (0,) * (pool.ndim - 2),
                 )
 
+            seg_row = jnp.zeros((1, cache.seg.shape[1]), jnp.int32)
+            seg_row = jax.lax.dynamic_update_slice(
+                seg_row, cache1.seg[:1], (0, 0)
+            )
             cache = llama.KVCache(
                 k=upd(cache.k, cache1.k),
                 v=upd(cache.v, cache1.v),
-                seg=jax.lax.dynamic_update_index_in_dim(
-                    cache.seg, cache1.seg[0], slot, axis=0
+                seg=jax.lax.dynamic_update_slice(
+                    cache.seg, seg_row, (slot, 0)
                 ),
                 k_scale=(None if cache.k_scale is None
                          else upd(cache.k_scale, cache1.k_scale)),
@@ -266,7 +307,7 @@ class BatchedEngine:
             )
             return cache, tokens
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def insert_paged(cache, cache1, slot, pages_vec, n_alloc,
                          first_token, tokens):
             """Scatter a single-request dense prefill cache (bucket-sized)
@@ -310,7 +351,8 @@ class BatchedEngine:
                    temperature, top_p):
             seg = active[:, None].astype(jnp.int32)
             logits, cache = llava_model.decode_step(
-                params, cfg, tokens, positions[:, None], seg, cache
+                params, cfg, tokens, positions[:, None], seg, cache,
+                attn_impl=self._attn_impl,
             )
             nxt = _sample_batch(logits[:, 0], keys, temperature, top_p)
             nxt = jnp.where(active, nxt, 0)
@@ -334,7 +376,8 @@ class BatchedEngine:
                 tokens, positions, cache = carry
                 seg = active[:, None].astype(jnp.int32)
                 logits, cache = llava_model.decode_step(
-                    params, cfg, tokens, positions[:, None], seg, cache
+                    params, cfg, tokens, positions[:, None], seg, cache,
+                    attn_impl=self._attn_impl,
                 )
                 subs = jax.vmap(jax.random.fold_in)(keys, positions)
                 nxt = _sample_batch(logits[:, 0], subs, temperature, top_p)
@@ -373,7 +416,8 @@ class BatchedEngine:
             position 0 (slots with temperature > 0 fall back to 1
             token/step)."""
             logits, cache = llava_model.decode_step(
-                params, cfg, tokens, positions, seg, cache
+                params, cfg, tokens, positions, seg, cache,
+                attn_impl=self._attn_impl,
             )                                       # [B, k+1, V]
             greedy = jnp.argmax(logits, axis=-1)    # [B, k+1]
             sampled0 = _sample_batch(
@@ -419,6 +463,7 @@ class BatchedEngine:
     def stop(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        self._prefill_thread.join(timeout=5)
 
     @property
     def num_active(self) -> int:
@@ -426,28 +471,35 @@ class BatchedEngine:
 
     # -- engine loop ----------------------------------------------------
 
-    def _admit(self):
-        free = [i for i, s in enumerate(self._slots) if s.request is None]
-        while free:
-            req = getattr(self, "_waiting", None)
-            self._waiting = None
-            if req is None:
-                try:
-                    req = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-            slot_id = free.pop(0)
+    def _prefill_loop(self):
+        """Dedicated prefill pipeline: host tokenization + image prep +
+        the prefill program + the first-token fetch all run here,
+        OVERLAPPED with the engine loop's decode chunks (device programs
+        serialize; the host work and the fetch barrier no longer stall
+        decode dispatch). The engine loop only performs the cheap insert.
+        TTFT is the first-token fetch in this thread — prefill latency,
+        independent of slot availability."""
+        while not self._stop.is_set():
+            # bound prefill-ahead: each prepared item holds a bucket-sized
+            # single-request cache on device until inserted
+            if self._ready.qsize() >= 2:
+                time.sleep(self.idle_sleep)
+                continue
             try:
-                self._prefill_into(slot_id, req)
-            except _PoolExhausted:
-                # hold the request until finished slots release pages
-                self._waiting = req
-                break
+                req = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            try:
+                prep = self._prepare(req)
             except Exception as e:
                 logger.error(f"prefill failed: {e}")
                 req._chunks.put(None)
+                req._done.set()
+                continue
+            if prep is not None:
+                self._ready.put(prep)
 
-    def _prefill_into(self, slot_id: int, req: Request):
+    def _prepare(self, req: Request) -> Optional["_Prepared"]:
         from llava_plus_tpu.generate import prepare_multimodal_request
 
         batch, plan = prepare_multimodal_request(
@@ -457,29 +509,14 @@ class BatchedEngine:
         )
         prompt_len = int(plan.lengths[0])
         budget = min(req.max_new_tokens, self.max_seq_len - prompt_len - 1)
-
-        pages = []
+        S1 = int(batch.tokens.shape[1])
+        needed_pages = 0
         if self.paged:
             P = self.page_size
-            S1 = int(batch.tokens.shape[1])
-            needed = max(S1 // P, -(-(prompt_len + budget + 1) // P))
-            if len(self._free_pages) < needed:
-                raise _PoolExhausted(needed)
-            pages = [self._free_pages.pop() for _ in range(needed)]
+            needed_pages = max(S1 // P, -(-(prompt_len + budget + 1) // P))
 
-        try:
-            self._prefill_slot(slot_id, req, batch, prompt_len, budget, pages)
-        except Exception:
-            if pages:  # pages popped above must not leak on failure
-                self._free_pages.extend(pages)
-            raise
-
-    def _prefill_slot(self, slot_id, req, batch, prompt_len, budget, pages):
-        cache1 = self._make_cache(
-            batch=1,
-            seq_len=int(batch.tokens.shape[1]) if self.paged else None,
-            force_dense=True,  # single-request bucket prefill is dense
-        )
+        # single-request bucket prefill is dense (bucket-sized cache)
+        cache1 = self._make_cache(batch=1, seq_len=S1, force_dense=True)
         last_logits, cache1 = self._prefill(self.params, batch, cache1)
         key = jax.random.PRNGKey(req.seed)
         key, sub = jax.random.split(key)
@@ -487,38 +524,97 @@ class BatchedEngine:
             last_logits, sub,
             jnp.float32(req.temperature), jnp.float32(req.top_p),
         )[0]
-        if self.paged:
-            maxp = self.max_seq_len // self.page_size
-            pages_vec = jnp.asarray(
-                (pages + [0] * maxp)[:maxp], jnp.int32
-            )
-            self.cache, self.tokens = self._insert_paged(
-                self.cache, cache1, slot_id, pages_vec,
-                jnp.int32(len(pages) * self.page_size), first[None],
-                self.tokens,
-            )
-        else:
-            self.cache, self.tokens = self._insert(
-                self.cache, cache1, slot_id, first[None], self.tokens
-            )
-        slot = self._slots[slot_id]
-        slot.request = req
-        slot.out_ids = []
-        slot.pos = prompt_len
-        slot.budget = budget
-        slot.key = key
-        slot.pages = pages
-        slot.history = [int(t) for t in
-                        np.asarray(batch.tokens[0])[:prompt_len]]
 
-        # Emit the prefill's sampled token NOW (this fetch is also the
-        # barrier on the prefill program): the client's TTFT is the prefill
-        # latency, not prefill + the first decode chunk.
+        # First-token fetch == the barrier on the prefill program; emit it
+        # to the client NOW (before any slot/page allocation): TTFT is the
+        # prefill latency.
         tid = int(np.asarray(jax.device_get(first)))
         req.first_token_ts = time.time()
         if req.submit_ts:
             self.ttfts.append(req.first_token_ts - req.submit_ts)
-        slot.skip_next_emit = not self._emit_token(slot, tid)
+
+        out_ids: List[int] = []
+        finished = False
+        if tid == self.tokenizer.eos_token_id or budget <= 0:
+            finished = True
+        else:
+            out_ids.append(tid)
+            budget -= 1
+            text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
+            for stop_s in req.stop_strings:
+                if stop_s and stop_s in text:
+                    text = text.split(stop_s)[0]
+                    finished = True
+            req._chunks.put(text)
+        if finished:
+            req._chunks.put(None)
+            req._done.set()
+            return None  # never occupies a slot
+
+        history = [int(t) for t in np.asarray(batch.tokens[0])[:prompt_len]]
+        history.append(tid)
+        return _Prepared(
+            req=req, cache1=cache1, first=first, first_id=tid,
+            prompt_len=prompt_len, budget=budget, key=key,
+            out_ids=out_ids, history=history, needed_pages=needed_pages,
+        )
+
+    def _admit(self):
+        free = [i for i, s in enumerate(self._slots) if s.request is None]
+        while free:
+            prep = self._waiting
+            self._waiting = None
+            if prep is None:
+                try:
+                    prep = self._ready.get_nowait()
+                except queue.Empty:
+                    break
+            slot_id = free.pop(0)
+            try:
+                self._insert_prepared(slot_id, prep)
+            except _PoolExhausted:
+                # hold the prepared request until finished slots free pages
+                self._waiting = prep
+                break
+            except Exception as e:
+                logger.error(f"insert failed: {e}")
+                prep.req._chunks.put(None)
+                prep.req._done.set()
+
+    def _insert_prepared(self, slot_id: int, prep: "_Prepared"):
+        req = prep.req
+        pages: List[int] = []
+        if self.paged:
+            if len(self._free_pages) < prep.needed_pages:
+                raise _PoolExhausted(prep.needed_pages)
+            pages = [self._free_pages.pop() for _ in range(prep.needed_pages)]
+            maxp = self.max_seq_len // self.page_size
+            pages_vec = jnp.asarray((pages + [0] * maxp)[:maxp], jnp.int32)
+            try:
+                self.cache, self.tokens = self._insert_paged(
+                    self.cache, prep.cache1, slot_id, pages_vec,
+                    jnp.int32(len(pages) * self.page_size),
+                    prep.first[None], self.tokens,
+                )
+            except Exception:
+                self._free_pages.extend(pages)
+                raise
+        else:
+            self.cache, self.tokens = self._insert(
+                self.cache, prep.cache1, slot_id, prep.first[None],
+                self.tokens,
+            )
+        slot = self._slots[slot_id]
+        slot.request = req
+        slot.out_ids = prep.out_ids
+        slot.pos = prep.prompt_len
+        slot.budget = prep.budget
+        slot.key = prep.key
+        slot.pages = pages
+        slot.history = prep.history
+        # the prefill already emitted this slot's first token; the next
+        # decode column for it is that same token — do not emit it twice
+        slot.skip_next_emit = True
 
     def _emit_token(self, slot: _Slot, tid: int) -> bool:
         """Emit one decoded token for a slot (eos/budget/stop semantics,
@@ -709,10 +805,12 @@ class BatchedEngine:
                                 sl.skip_next_emit = True
                     continue
 
-            # Adaptive chunking: with requests waiting to admit, run a short
-            # chunk so the next admission point arrives sooner (loaded TTFT
-            # is prefill + at most one in-flight chunk).
-            k = 1 if not self._queue.empty() else self.decode_chunk
+            # Adaptive chunking: with a prepared request waiting to
+            # insert, run a short chunk so the next admission point arrives
+            # sooner (the request's FIRST token was already emitted by the
+            # prefill thread; this bounds its second-token latency).
+            k = (1 if (self._waiting is not None or not self._ready.empty())
+                 else self.decode_chunk)
             active = np.zeros((self.max_slots,), bool)
             temps = np.zeros((self.max_slots,), np.float32)
             tops = np.ones((self.max_slots,), np.float32)

@@ -92,9 +92,24 @@ class JaxBackend:
             import dataclasses as _dc
 
             typ, _, fac = rope_scaling.partition(":")
+            # Fail fast with a clear CLI error: an unsupported type or a
+            # malformed factor would otherwise only surface as a ValueError
+            # inside the first jitted forward, after model load.
+            if typ not in ("linear", "dynamic"):
+                raise SystemExit(
+                    f"--rope-scaling: unsupported type {typ!r} "
+                    "(expected 'linear:<factor>' or 'dynamic:<factor>')"
+                )
+            try:
+                factor = float(fac or 2.0)
+            except ValueError:
+                raise SystemExit(
+                    f"--rope-scaling: factor {fac!r} is not a number "
+                    "(expected e.g. 'linear:4.0')"
+                )
             self.cfg = _dc.replace(self.cfg, text=_dc.replace(
                 self.cfg.text, rope_scaling_type=typ,
-                rope_scaling_factor=float(fac or 2.0),
+                rope_scaling_factor=factor,
             ))
         if quantize in ("int8", "int4"):
             from llava_plus_tpu.ops.quant import quantize_llava_params

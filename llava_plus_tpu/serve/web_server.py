@@ -259,10 +259,13 @@ class SessionStore:
                     if now - ts > self.ttl_s]
             for k in dead:
                 del self._sessions[k]
+            # Remove the requested id BEFORE eviction: the active session
+            # must never be the eviction victim (it would silently lose its
+            # ToolSession mask/segmentation state mid-conversation).
+            sess, _ = self._sessions.pop(session_id, (None, None))
             while len(self._sessions) >= self.cap:
                 oldest = min(self._sessions, key=lambda k: self._sessions[k][1])
                 del self._sessions[oldest]
-            sess, _ = self._sessions.get(session_id, (None, None))
             if sess is None:
                 sess = ToolSession()
             self._sessions[session_id] = (sess, now)
