@@ -140,7 +140,7 @@ def _prequantized_params(cfg, bits: int):
 
 
 def measure_loaded_ttft(cfg, params, kv_int8: bool, *, n_background=8,
-                        n_probes=4):
+                        n_probes=16):
     """p50 TTFT for a request admitted while ``n_background`` slots are
     decoding — the honest at-occupancy number the north star asks for
     (new request's prefill incl. vision encode overlaps a busy engine).
@@ -189,6 +189,55 @@ def measure_loaded_ttft(cfg, params, kv_int8: bool, *, n_background=8,
                 pass
             time.sleep(0.2)  # let the pool settle back to steady decode
         return round(statistics.median(ttfts), 4)
+    finally:
+        eng.stop()
+
+
+def measure_burst_ttft(cfg, params, kv_int8: bool, *, n_arrivals=16):
+    """TTFT distribution for ``n_arrivals`` SIMULTANEOUS arrivals at an
+    idle engine (the arrival-storm case): batched prefill admission
+    (engine.prefill_batch) bounds how long late arrivals wait behind
+    earlier prefills. Returns (p50, p95) seconds."""
+    import jax.numpy as jnp
+
+    from llava_plus_tpu.data.debug_tokenizer import DebugTokenizer
+    from llava_plus_tpu.serve.engine import BatchedEngine, Request
+
+    rng = np.random.default_rng(1)
+    img_size = cfg.vision.image_size
+    n_text = max(PREFILL_LEN - cfg.num_image_tokens - 8, 8)
+    prompt = "<image>\n" + " ".join(f"word{i}" for i in range(n_text))
+    tok = DebugTokenizer(vocab_size=cfg.text.vocab_size)
+    eng = BatchedEngine(
+        params, cfg, tok, max_slots=n_arrivals, max_seq_len=CACHE_LEN,
+        prefill_bucket=256,
+        cache_dtype=jnp.int8 if kv_int8 else jnp.bfloat16,
+    )
+    try:
+        def image():
+            return rng.normal(
+                size=(1, img_size, img_size, 3)).astype(np.float32)
+
+        # warm the compile caches (prefill at batch prefill_batch + tails)
+        warm = [Request(prompt=prompt, images=image(), max_new_tokens=2)
+                for _ in range(eng.prefill_batch + 1)]
+        for r in warm:
+            eng.submit(r)
+        for r in warm:
+            while r._chunks.get(timeout=600) is not None:
+                pass
+
+        reqs = [Request(prompt=prompt, images=image(), max_new_tokens=4)
+                for _ in range(n_arrivals)]
+        for r in reqs:
+            eng.submit(r)
+        for r in reqs:
+            while r._chunks.get(timeout=600) is not None:
+                pass
+        ttfts = sorted(r.ttft for r in reqs)
+        p50 = ttfts[len(ttfts) // 2]
+        p95 = ttfts[min(int(len(ttfts) * 0.95), len(ttfts) - 1)]
+        return round(p50, 4), round(p95, 4)
     finally:
         eng.stop()
 
@@ -316,12 +365,17 @@ def run(model_name: str, batch_size: int = 1, kv_int8: bool = False,
     ips = images_plus_tokens / total_time
 
     loaded_ttft_s = None
+    burst = (None, None)
     if loaded_ttft:
         del cache2, tok, toks  # free the throughput run before the engine
         try:
             loaded_ttft_s = measure_loaded_ttft(cfg, params, kv_int8)
         except Exception as e:  # measurement is additive; never fail the bench
             print(f"loaded-ttft measurement failed: {e}", file=sys.stderr)
+        try:
+            burst = measure_burst_ttft(cfg, params, kv_int8)
+        except Exception as e:
+            print(f"burst-ttft measurement failed: {e}", file=sys.stderr)
 
     return {
         "metric": "serving_images_plus_tokens_per_sec_per_chip",
@@ -335,6 +389,8 @@ def run(model_name: str, batch_size: int = 1, kv_int8: bool = False,
             "kv_cache": "int8" if kv_int8 else "bf16",
             "ttft_s": round(ttft, 4),
             "loaded_ttft_p50_s": loaded_ttft_s,
+            "burst16_ttft_p50_s": burst[0],
+            "burst16_ttft_p95_s": burst[1],
             "decode_tok_s": round(MAX_NEW_TOKENS / decode_time, 2),
             "prefill_len": PREFILL_LEN,
             "new_tokens": MAX_NEW_TOKENS,
@@ -345,7 +401,21 @@ def run(model_name: str, batch_size: int = 1, kv_int8: bool = False,
 def main():
     # Each attempt runs in a fresh subprocess: a failed (OOM) attempt must not
     # leak device buffers into the fallback.
+    import os
     import subprocess
+
+    # On-chip kernel equality checks first: writes TPUCHECKS.json (the
+    # driver-visible artifact proving the compiled TPU kernels — not their
+    # CPU fallbacks — match the XLA references this round). Additive:
+    # a failure is recorded in the artifact, never fails the bench.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "tpu_checks.py")],
+            timeout=1500,
+        )
+    except Exception as e:
+        print(f"tpu_checks failed: {e}", file=sys.stderr)
 
     # Continuous-batching is the headline serving config: one chip decodes
     # B streams off one weight pass (the reference's concurrency-5 worker

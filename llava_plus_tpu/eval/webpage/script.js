@@ -27,6 +27,21 @@ function renderMarkdown(text) {
 
 function capitalize(s) { return s ? s[0].toUpperCase() + s.slice(1) : s; }
 
+// Model avatar (figures/<base>.svg): match on the leading model-family name,
+// mirroring the reference's per-model icons (llava/eval/webpage/figures/).
+const AVATARS = ['alpaca', 'bard', 'chatgpt', 'gpt', 'llama', 'vicuna', 'llava'];
+function avatarFor(model) {
+  const m = String(model || '').toLowerCase();
+  for (const a of AVATARS) {
+    if (m.startsWith(a)) return `figures/${a === 'llava' ? 'llava-tpu' : a === 'gpt' ? 'chatgpt' : a}.svg`;
+  }
+  return 'figures/llava-tpu.svg';
+}
+function setAvatar(imgId, model) {
+  const img = $(imgId);
+  if (img) { img.src = avatarFor(model); img.alt = model; }
+}
+
 function ourModel() { return DATA.models[DATA.models.length - 1]; }
 
 function pairKey(other) {
@@ -123,6 +138,8 @@ function display() {
   }
   $('other-model-title').textContent = title1;
   $('our-model-title').textContent = title2;
+  setAvatar('other-model-avatar', other);
+  setAvatar('our-model-avatar', us);
   $('other-score-label').textContent = label1;
   $('our-score-label').textContent = label2;
   $('other-model-header').style.backgroundColor = c1;

@@ -411,12 +411,20 @@ def _paged_layer_attention(
     # partitioning rule, so under a tp-sharded mesh the kernel would
     # replicate/all-gather the multi-GB pool per layer. The engine passes
     # "xla" whenever it serves over a mesh (serve/engine.py).
-    if T == 1 and attn_impl != "xla" and _decode_kernel_ok():
+    # T <= 8 covers the decode step (T == 1) and the speculative-verify /
+    # short-continuation chunk; both have contiguous positions from
+    # positions[:, 0] and prefix-valid segment ids, which is what the
+    # kernel's self block assumes (chunk token j at position past_len + j).
+    # head_dim must be lane-aligned (Mosaic tiles the last VMEM dim at
+    # 128; llama/MPT production heads are 128 — a 64-dim head falls back).
+    if (T <= 8 and q.shape[-1] % 128 == 0 and attn_impl != "xla"
+            and _decode_kernel_ok()):
         from llava_plus_tpu.ops.paged_attention import paged_decode_attention
 
         return paged_decode_attention(
             q, flat, flat_ids, past_len, flat_s,
-            cur_k=k_cur, cur_v=v_cur, cur_valid=segment_ids[:, 0],
+            cur_k=k_cur, cur_v=v_cur,
+            cur_valid=jnp.sum(segment_ids, axis=1).astype(jnp.int32),
         )
     # Generic path (CPU tests, multi-token continuation): gather the used
     # pages into a dense view, append the current chunk, and run the
@@ -427,7 +435,13 @@ def _paged_layer_attention(
     S = k.shape[1]
     k = jnp.concatenate([k.astype(q.dtype), k_cur.astype(q.dtype)], axis=1)
     v = jnp.concatenate([v.astype(q.dtype), v_cur.astype(q.dtype)], axis=1)
-    kv_seg = jnp.concatenate([old_seg, segment_ids], axis=1)
+    # The pool holds PAST tokens only, but rejected speculative-verify
+    # writes (and their seg marks) linger at positions >= past_len until
+    # the next chunk overwrites them — mask them out so they are never
+    # double-counted against the current chunk's own entries.
+    pool_pos = jnp.arange(S, dtype=jnp.int32)[None]
+    pool_seg = old_seg * (pool_pos < past_len[:, None]).astype(jnp.int32)
+    kv_seg = jnp.concatenate([pool_seg, segment_ids], axis=1)
     kv_positions = jnp.concatenate([
         jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S)),
         positions.astype(jnp.int32),

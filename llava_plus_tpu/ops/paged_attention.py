@@ -87,20 +87,20 @@ def _kernel(
     # scalar prefetch
     lengths_ref,            # [B] PAST tokens per slot (pool-resident)
     page_ids_ref,           # [B * maxp] flat
-    valid_ref,              # [B] current-token validity (0 = dead slot)
+    valid_ref,              # [B] valid chunk-token COUNT (0 = dead slot)
     # inputs
-    q_ref,                  # [1, Hkv, G, D] (block over b)
-    curk_ref,               # [1, Hkv, D]
-    curv_ref,               # [1, Hkv, D]
+    q_ref,                  # [1, Hkv, G*Tq, D] (block over b)
+    curk_ref,               # [1, Tq, Hkv, D]
+    curv_ref,               # [1, Tq, Hkv, D]
     pool_ref,               # [NP, 2, Hkv, P, D] in HBM (ANY)
     scale_ref,              # [NP, 2, Hkv, P] in HBM (ANY) or dummy
     # outputs
-    o_ref,                  # [1, Hkv, G, D]
+    o_ref,                  # [1, Hkv, G*Tq, D]
     # scratch
     kv_bufs,                # [2, ppcb, 2, Hkv, P, D] VMEM
     scale_bufs,             # [2, ppcb, 2, Hkv, P] VMEM
     sems,                   # [2] DMA semaphores
-    m_s, l_s, acc_s,        # [Hkv, G, 128], [Hkv, G, 128], [Hkv, G, D]
+    m_s, l_s, acc_s,        # [Hkv, G*Tq, 128] x2, [Hkv, G*Tq, D]
     buf_idx_ref,            # [1] SMEM: double-buffer index
     flag_ref,               # [1] SMEM: first-iteration flag
     *,
@@ -109,6 +109,7 @@ def _kernel(
     ppcb: int,
     batch: int,
     has_cur: bool,
+    n_cur: int,
 ):
     b, blk = pl.program_id(0), pl.program_id(1)
     NP, _, Hkv, P, D = pool_ref.shape
@@ -211,24 +212,41 @@ def _kernel(
         @pl.when(blk == blocks_used - 1)
         def _finish():
             if has_cur:
-                # fold the not-yet-written current token in as one more
-                # (unquantized) attention entry — the "self block"
-                qf = q_ref[0].astype(jnp.float32)           # [Hkv, G, D]
-                ck = curk_ref[0, 0].astype(jnp.float32)     # [Hkv, D]
-                cv = curv_ref[0, 0].astype(jnp.float32)
-                s_self = jnp.sum(
-                    qf * ck[:, None, :], axis=-1
-                ) * sm_scale                                # [Hkv, G]
-                s_self = jnp.where(valid_ref[b] > 0, s_self, NEG_INF)
-                s_b = jnp.broadcast_to(s_self[..., None], m_s.shape)
-                m_fin = jnp.maximum(m_s[...], s_b)
-                alpha_f = jnp.exp(m_s[...] - m_fin)
-                p_self = jnp.exp(s_self - m_fin[..., 0])    # [Hkv, G]
-                l_fin = l_s[...] * alpha_f + jnp.broadcast_to(
-                    p_self[..., None], l_s.shape
+                # fold the not-yet-written current chunk (n_cur tokens) in
+                # as a final "self block": chunk token j sits at logical
+                # position length + j; query g*n_cur + t attends chunk
+                # entries j <= t (causal within the chunk), j < valid count
+                G2 = q_ref.shape[2]                         # G * n_cur
+                qf = q_ref[0].astype(jnp.float32)           # [Hkv, G2, D]
+                ck = curk_ref[0].transpose(1, 0, 2).astype(jnp.float32)
+                cv = curv_ref[0].transpose(1, 0, 2).astype(jnp.float32)
+                # [Hkv, Tq, D] each
+                s_self = jax.lax.dot_general(
+                    qf, ck, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * sm_scale                                # [Hkv, G2, Tq]
+                qtok = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, G2, n_cur), 1
+                ) % n_cur
+                jtok = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, G2, n_cur), 2
                 )
-                acc_fin = (acc_s[...] * alpha_f[..., :1]
-                           + p_self[..., None] * cv[:, None, :])
+                mask = (jtok <= qtok) & (jtok < valid_ref[b])
+                s_self = jnp.where(mask, s_self, NEG_INF)
+                m_cur2 = jnp.max(s_self, axis=-1)[..., None]
+                m_fin = jnp.maximum(
+                    m_s[...], jnp.broadcast_to(m_cur2, m_s.shape)
+                )
+                alpha_f = jnp.exp(m_s[...] - m_fin)
+                p_self = jnp.exp(s_self - m_fin[..., :1])   # [Hkv, G2, Tq]
+                l_fin = l_s[...] * alpha_f + jnp.broadcast_to(
+                    jnp.sum(p_self, axis=-1)[..., None], l_s.shape
+                )
+                pv_self = jax.lax.dot_general(
+                    p_self, cv, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )                                           # [Hkv, G2, D]
+                acc_fin = acc_s[...] * alpha_f[..., :1] + pv_self
                 o_ref[0] = (
                     acc_fin / jnp.maximum(l_fin[..., :1], 1e-9)
                 ).astype(o_ref.dtype)
@@ -239,22 +257,33 @@ def _kernel(
 
 
 def paged_decode_attention(
-    q: jax.Array,            # [B, 1, H, D]
+    q: jax.Array,            # [B, Tq, H, D] (Tq = 1 decode; > 1 verify)
     kv_pages: jax.Array,     # [NP, 2, Hkv, P, D] bf16 or int8
     page_ids: jax.Array,     # [B, maxp] int32 (flat ids)
     lengths: jax.Array,      # [B] int32 past tokens per slot
     kv_scale=None,           # [NP, 2, Hkv, P] f32 when int8
-    cur_k=None,              # [B, 1, Hkv, D] current token (not in pool)
+    cur_k=None,              # [B, Tq, Hkv, D] current chunk (not in pool)
     cur_v=None,
-    cur_valid=None,          # [B] int32 (0 = dead slot) when cur_k given
+    cur_valid=None,          # [B] int32 count of VALID chunk tokens
+    #                          (0 = dead slot; chunk validity is a prefix)
     *,
     sm_scale: float | None = None,
     pages_per_block: int = 8,
     interpret=None,
 ) -> jax.Array:
-    """Single-step attention over the paged pool. Returns [B, 1, H, D]."""
+    """Attention over the paged pool + the current chunk's self block.
+
+    Tq == 1 is the decode step; Tq > 1 is the speculative-verify /
+    chunked-continuation step: chunk token j sits at logical position
+    ``lengths[b] + j`` and queries attend the pool plus the causal prefix
+    of the chunk. Returns [B, Tq, H, D]."""
     if interpret is None:
         interpret = _interpret_default()
+    if q.shape[-1] % 128 != 0:
+        # Mosaic tiles the trailing VMEM dim at 128 lanes; an unaligned
+        # head_dim cannot be sliced from the page buffers (production
+        # llama/MPT heads are 128) — serve via the XLA reference instead
+        interpret = True
     if interpret:
         # manual-DMA double buffering has no faithful interpret-mode
         # emulation; tests use the XLA reference on CPU
@@ -265,11 +294,11 @@ def paged_decode_attention(
         )
         return out.astype(q.dtype)
     B, Tq, H, D = q.shape
-    assert Tq == 1, q.shape
     NP, two, Hkv, P, _ = kv_pages.shape
     assert two == 2, kv_pages.shape
     maxp = page_ids.shape[1]
     G = H // Hkv
+    G2 = G * Tq
     if sm_scale is None:
         sm_scale = D ** -0.5
     # double-buffered kv scratch must fit VMEM: 2 * ppcb * page_bytes <= 8MB
@@ -280,21 +309,24 @@ def paged_decode_attention(
 
     quantized = kv_scale is not None
     has_cur = cur_k is not None
-    qg = q[:, 0].reshape(B, Hkv, G, D)
+    # [B, Tq, H, D] -> [B, Hkv, G*Tq, D]; flattened col = g * Tq + t
+    qg = (q.transpose(0, 2, 1, 3)
+          .reshape(B, Hkv, G, Tq, D).reshape(B, Hkv, G2, D))
     if not has_cur:
-        cur_k = jnp.zeros((B, 1, Hkv, D), q.dtype)
+        assert Tq == 1, "multi-token queries require the current chunk"
+        cur_k = jnp.zeros((B, Tq, Hkv, D), q.dtype)
         cur_v = cur_k
     if cur_valid is None:
-        cur_valid = jnp.ones((B,), jnp.int32)
+        cur_valid = jnp.full((B,), Tq, jnp.int32)
 
     scratch = [
         pltpu.VMEM((2, ppcb, 2, Hkv, P, D), kv_pages.dtype),
         # always allocated (256 KB); only DMA'd into when quantized
         pltpu.VMEM((2, ppcb, 2, Hkv, P), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.VMEM((Hkv, G, 128), jnp.float32),
-        pltpu.VMEM((Hkv, G, 128), jnp.float32),
-        pltpu.VMEM((Hkv, G, D), jnp.float32),
+        pltpu.VMEM((Hkv, G2, 128), jnp.float32),
+        pltpu.VMEM((Hkv, G2, 128), jnp.float32),
+        pltpu.VMEM((Hkv, G2, D), jnp.float32),
         pltpu.SMEM((1,), jnp.int32),
         pltpu.SMEM((1,), jnp.int32),
     ]
@@ -306,33 +338,35 @@ def paged_decode_attention(
         grid=(B, maxp // ppcb),
         in_specs=[
             pl.BlockSpec(
-                (1, Hkv, G, D), lambda b, j, *_: (b, 0, 0, 0)
+                (1, Hkv, G2, D), lambda b, j, *_: (b, 0, 0, 0)
             ),
-            pl.BlockSpec((1, 1, Hkv, D), lambda b, j, *_: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, Hkv, D), lambda b, j, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Tq, Hkv, D), lambda b, j, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Tq, Hkv, D), lambda b, j, *_: (b, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, Hkv, G, D), lambda b, j, *_: (b, 0, 0, 0)
+            (1, Hkv, G2, D), lambda b, j, *_: (b, 0, 0, 0)
         ),
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         functools.partial(
             _kernel, sm_scale=sm_scale, quantized=quantized, ppcb=ppcb,
-            batch=B, has_cur=has_cur,
+            batch=B, has_cur=has_cur, n_cur=Tq,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G2, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(lengths.astype(jnp.int32), page_ids.astype(jnp.int32).reshape(-1),
       cur_valid.astype(jnp.int32),
-      qg, cur_k.reshape(B, 1, Hkv, D), cur_v.reshape(B, 1, Hkv, D),
+      qg, cur_k.reshape(B, Tq, Hkv, D), cur_v.reshape(B, Tq, Hkv, D),
       kv_pages, kv_scale)
-    return out.reshape(B, H, D)[:, None]
+    # [B, Hkv, G*Tq, D] -> [B, Tq, H, D]
+    return (out.reshape(B, Hkv, G, Tq, D)
+            .transpose(0, 3, 1, 2, 4).reshape(B, Tq, H, D))
 
 
 def gather_pages(kv_pages, page_ids, kv_scale=None, dtype=jnp.float32):
@@ -355,10 +389,13 @@ def paged_attention_reference(
     q, kv_pages, page_ids, lengths, kv_scale=None,
     cur_k=None, cur_v=None, cur_valid=None, *, sm_scale=None,
 ):
-    """Gather-based XLA reference (tests and the CPU path)."""
+    """Gather-based XLA reference (tests and the CPU path).
+
+    ``cur_valid`` is the count of valid chunk tokens per slot (a prefix);
+    chunk token j sits at logical position ``lengths[b] + j``."""
     from llava_plus_tpu.ops.attention import xla_attention
 
-    B = q.shape[0]
+    B, Tq = q.shape[:2]
     P = kv_pages.shape[3]
     maxp = page_ids.shape[1]
     k, v = gather_pages(kv_pages, page_ids, kv_scale)
@@ -366,21 +403,25 @@ def paged_attention_reference(
     S = maxp * P
     kv_seg = (jnp.arange(S)[None, :] < lengths[:, None]).astype(jnp.int32)
     if cur_k is not None:
-        # current token appended at logical position `lengths`
+        # current chunk appended at logical positions lengths + j
         k = jnp.concatenate([k, cur_k.astype(k.dtype)], axis=1)
         v = jnp.concatenate([v, cur_v.astype(v.dtype)], axis=1)
-        valid = (jnp.ones((B,), jnp.int32) if cur_valid is None
+        valid = (jnp.full((B,), Tq, jnp.int32) if cur_valid is None
                  else cur_valid.astype(jnp.int32))
-        kv_seg = jnp.concatenate([kv_seg, valid[:, None]], axis=1)
-        q_positions = lengths[:, None]
+        j = jnp.arange(Tq, dtype=jnp.int32)[None]
+        kv_seg = jnp.concatenate(
+            [kv_seg, (j < valid[:, None]).astype(jnp.int32)], axis=1
+        )
+        q_positions = lengths[:, None].astype(jnp.int32) + j
         kv_positions = jnp.concatenate([
             jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S)),
-            lengths[:, None].astype(jnp.int32),
+            lengths[:, None].astype(jnp.int32) + j,
         ], axis=1)
     else:
+        assert Tq == 1
         q_positions = (lengths - 1)[:, None]
         kv_positions = None
-    q_seg = jnp.ones((B, 1), jnp.int32)
+    q_seg = jnp.ones((B, Tq), jnp.int32)
     return xla_attention(
         q, k.astype(q.dtype), v.astype(q.dtype),
         causal=True, q_segment_ids=q_seg, kv_segment_ids=kv_seg,

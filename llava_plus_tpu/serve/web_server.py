@@ -100,6 +100,7 @@ INDEX_HTML = """<!doctype html>
  <button data-vote="upvote">&#128077; Upvote</button>
  <button data-vote="downvote">&#128078; Downvote</button>
  <button data-vote="flag">&#9872; Flag</button>
+ <button id="regen">&#128260; Regenerate</button>
 </div>
 <script>
 const chat = document.getElementById('chat');
@@ -175,9 +176,7 @@ function makeSketch(boxId, inputEl, clearBtn) {
 const sketch = makeSketch('imgbox', img, clearSketch);
 const refSketch = makeSketch('refbox', refimg, clearRefSketch);
 
-send.onclick = async () => {
-  const text = msg.value.trim(); if(!text) return;
-  msg.value=''; add('u','You: '+text);
+async function run(text) {
   const body = {model: model.value, text, history, session_id: sessionId,
     temperature: parseFloat(temp.value), top_p: parseFloat(topp.value),
     image_process_mode: imode.value};
@@ -219,6 +218,20 @@ send.onclick = async () => {
       chat.scrollTop = chat.scrollHeight;
     }}
   history.push([text, out.textContent]);
+}
+send.onclick = () => {
+  const text = msg.value.trim(); if(!text) return;
+  msg.value=''; add('u','You: '+text); run(text);
+};
+// Regenerate: pop the last assistant turn (and any tool/status bubbles
+// rendered for it) and re-stream the same user message, keeping the
+// session's tool state (ref gradio_web_server.py:113-120, :355, :384).
+regen.onclick = () => {
+  if (!history.length) return;
+  const text = history.pop()[0];
+  while (chat.lastChild && chat.lastChild.className !== 'u')
+    chat.removeChild(chat.lastChild);
+  run(text);
 };
 clear.onclick = () => {chat.innerHTML=''; history=[]; img.value=''; refimg.value='';
   document.getElementById('imgbox').innerHTML='';

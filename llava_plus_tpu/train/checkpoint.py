@@ -54,14 +54,20 @@ def save_train_state(ckpt_dir, step: int, params, opt_state=None,
 
 
 def latest_checkpoint(ckpt_dir) -> Optional[Path]:
-    """Auto-resume discovery (ref train.py:979-982 resume-from-latest)."""
+    """Auto-resume discovery (ref train.py:979-982 resume-from-latest).
+
+    Skips incomplete saves: a run killed mid-save leaves only an orbax
+    ``state.orbax-checkpoint-tmp*`` dir (no committed ``state``); resuming
+    from it would crash the NEXT run at restore. meta.json is written
+    after the save commits, so its presence is the completeness marker."""
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.exists():
         return None
     best, best_step = None, -1
     for p in ckpt_dir.iterdir():
         m = re.fullmatch(rf"{CKPT_PREFIX}(\d+)", p.name)
-        if m and int(m.group(1)) > best_step:
+        if (m and int(m.group(1)) > best_step
+                and (p / "state").exists() and (p / "meta.json").exists()):
             best, best_step = p, int(m.group(1))
     return best
 

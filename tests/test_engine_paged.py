@@ -102,3 +102,31 @@ def test_paged_multimodal(engines):
     got = paged.generate(Request(prompt="<image>\nwhat?", images=img,
                                  max_new_tokens=4))
     assert got == ref
+
+
+def test_paged_speculative_matches_dense(engines):
+    """--paged --speculate serves greedy streams token-for-token equal to
+    the plain dense engine (VERDICT r2 item 4: the two flagship decode
+    features compose)."""
+    dense, _ = engines
+    cfg = tiny_llava_config()
+    params = llava_model.init_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.float32
+    )
+    tok = CharTokenizer()
+    eng = BatchedEngine(
+        params, cfg, tok, max_slots=4, max_seq_len=96,
+        prefill_bucket=32, cache_dtype=jnp.float32,
+        paged=True, page_size=32, speculate=3,
+    )
+    try:
+        for prompt in ["the cat sat on the mat the cat sat on the",
+                       "abab abab abab"]:
+            ref = dense.generate(Request(prompt=prompt, max_new_tokens=12,
+                                         temperature=0.0))
+            got = eng.generate(Request(prompt=prompt, max_new_tokens=12,
+                                       temperature=0.0))
+            assert got == ref, (prompt, got, ref)
+        assert eng.spec_steps > 0
+    finally:
+        eng.stop()

@@ -38,6 +38,17 @@ def test_index_serves_html(topology):
     assert "LLaVA-Plus" in r.text
 
 
+def test_regenerate_ui_present(topology):
+    """Regenerate button + handler shipped in the page (the pop-last-
+    assistant-turn + re-stream flow itself is client-side JS; the server
+    round it drives is test_chat_stream's /api/chat). Ref
+    gradio_web_server.py:113-120, :355, :384."""
+    r = requests.get(f"http://127.0.0.1:{WEB}/", timeout=5)
+    assert 'id="regen"' in r.text
+    assert "regen.onclick" in r.text
+    assert "history.pop()" in r.text
+
+
 def test_models_endpoint(topology):
     r = requests.post(f"http://127.0.0.1:{WEB}/api/models", timeout=5)
     assert r.json()["models"] == ["web-model"]
