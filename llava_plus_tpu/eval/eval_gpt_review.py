@@ -10,6 +10,12 @@ NUM_SECONDS_TO_SLEEP = 3
 
 
 def get_eval(content: str, max_tokens: int, model: str = "gpt-4"):
+    if os.environ.get("LLAVA_GPT_REVIEW_STUB"):
+        # Offline mode: deterministic canned review so the full judge
+        # pipeline (context build -> review -> score parse -> summarize)
+        # can run and be tested with no API access. The score line matches
+        # the format parse_score expects.
+        return "5 4\nStub review (LLAVA_GPT_REVIEW_STUB set)."
     import openai
 
     while True:

@@ -113,11 +113,13 @@ class PagedKVCache:
     kv_scale: Optional[jax.Array] = None
 
     @classmethod
-    def create(cls, cfg: LlamaConfig, batch: int, *, num_pages: int,
+    def create(cls, cfg, batch: int, *, num_pages: int,
                max_pages_per_slot: int, page_size: int = 128,
                dtype=jnp.bfloat16) -> "PagedKVCache":
-        shape = (cfg.num_hidden_layers, num_pages, 2,
-                 cfg.num_key_value_heads, page_size, cfg.head_dim)
+        # cfg is LlamaConfig or MptConfig (both decoders share the pool)
+        n_layers = getattr(cfg, "num_hidden_layers", None) or cfg.n_layers
+        kv_heads = getattr(cfg, "num_key_value_heads", None) or cfg.kv_heads
+        shape = (n_layers, num_pages, 2, kv_heads, page_size, cfg.head_dim)
         quantized = dtype == jnp.int8
         return cls(
             kv=jnp.zeros(shape, dtype),
@@ -389,6 +391,7 @@ def embed_tokens(params, input_ids: jax.Array) -> jax.Array:
 def _paged_layer_attention(
     q, k_cur, v_cur, kv_all, kvs_all, idx, paged_info,
     segment_ids, positions, attn_impl,
+    alibi_slopes=None, sm_scale=None,
 ):
     """Decode/continuation attention over the paged pool for one layer.
 
@@ -425,6 +428,7 @@ def _paged_layer_attention(
             q, flat, flat_ids, past_len, flat_s,
             cur_k=k_cur, cur_v=v_cur,
             cur_valid=jnp.sum(segment_ids, axis=1).astype(jnp.int32),
+            alibi_slopes=alibi_slopes, sm_scale=sm_scale,
         )
     # Generic path (CPU tests, multi-token continuation): gather the used
     # pages into a dense view, append the current chunk, and run the
@@ -446,13 +450,22 @@ def _paged_layer_attention(
         jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S)),
         positions.astype(jnp.int32),
     ], axis=1)
+    bias = None
+    if alibi_slopes is not None:
+        dist = (positions[:, :, None] - kv_positions[:, None, :]).astype(
+            jnp.float32
+        )
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        bias = -jnp.abs(dist)[:, None, :, :] * slopes[None, :, None, None]
     return attention(
         q, k, v,
         causal=True,
+        bias=bias,
         q_segment_ids=segment_ids,
         kv_segment_ids=kv_seg,
         q_positions=positions,
         kv_positions=kv_positions,
+        softmax_scale=sm_scale,
         impl="xla",
     )
 

@@ -98,7 +98,8 @@ def embed_tokens(params, input_ids: jax.Array) -> jax.Array:
 
 def _layer_forward(
     lp, h, bias, segment_ids, positions, cfg: MptConfig, layer_cache, cache_seg,
-    prefix_lengths, attn_impl,
+    prefix_lengths, attn_impl, paged_info=None, fresh_prefill=False,
+    slopes=None,
 ):
     B, T, D = h.shape
     H, Hkv, Dh = cfg.n_heads, cfg.kv_heads, cfg.head_dim
@@ -118,7 +119,40 @@ def _layer_forward(
 
     causal = not cfg.prefix_lm  # prefix visibility folded into bias below
 
-    if layer_cache is not None:
+    if layer_cache is not None and paged_info is not None:
+        # Paged pool (shared machinery with llama): pool is a read-only
+        # closure of the scan, this chunk's k/v are staged and written
+        # once per step after the scan; ALiBi rides the kernel as
+        # per-head slopes (paged_decode_attention) or the gather path as
+        # an explicit bias.
+        from llava_plus_tpu.models.llama import (
+            _paged_layer_attention, _paged_quant,
+        )
+
+        kv_all, kvs_all, idx = layer_cache
+        if fresh_prefill and T > 1:
+            attn_out = attention(
+                q, k, v,
+                causal=True, bias=bias,
+                q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+                softmax_scale=cfg.softmax_scale or Dh ** -0.5,
+                impl=attn_impl,
+            )
+        else:
+            attn_out = _paged_layer_attention(
+                q, k, v, kv_all, kvs_all, idx, paged_info,
+                segment_ids, positions, attn_impl,
+                alibi_slopes=slopes,
+                sm_scale=cfg.softmax_scale or Dh ** -0.5,
+            )
+        if kvs_all is not None:
+            qk, sk = _paged_quant(k)
+            qv, sv = _paged_quant(v)
+            new_cache = (qk, qv, sk, sv)
+        else:
+            new_cache = (k, v, jnp.zeros(k.shape[:-1], jnp.float32),
+                         jnp.zeros(k.shape[:-1], jnp.float32))
+    elif layer_cache is not None:
         # full stacked cache carried through the scan, updated in place at
         # [idx] (see llama.py: the xs->ys form defeated donation aliasing);
         # scales present => int8 cache
@@ -172,26 +206,52 @@ def decoder_forward(
     sequence_id: Optional[jax.Array] = None,
     attn_impl: str = "auto",
     remat: bool = False,
+    fresh_prefill: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
+    from llava_plus_tpu.models.llama import PagedKVCache, _paged_write_all
+
     h = inputs_embeds
     B, T, D = h.shape
+    paged = isinstance(cache, PagedKVCache)
 
     if cfg.learned_pos_emb and not cfg.alibi:
         h = h + jnp.take(params["wpe"], positions, axis=0)
 
     new_cache_seg = None
+    paged_info = None
     if cache is not None:
         b_idx = jnp.arange(B)[:, None]
         new_cache_seg = cache.seg.at[b_idx, positions].set(
             segment_ids, mode="drop"
         )
-        kv_pos = jnp.broadcast_to(jnp.arange(cache.max_len, dtype=jnp.int32), (B, cache.max_len))
+        if paged:
+            # same page addressing as llama (models/llama.py)
+            P = cache.page_size
+            maxp = cache.page_table.shape[1]
+            pidx = jnp.clip(positions // P, 0, maxp - 1)
+            pages = jnp.take_along_axis(cache.page_table, pidx, axis=1)
+            offsets = positions % P
+            valid = ((positions < cache.max_len) & (segment_ids > 0)
+                     & (positions < cache.alloc[:, None]))
+            past_len = jnp.where(
+                segment_ids[:, 0] > 0, positions[:, 0], 0
+            ).astype(jnp.int32)
+            past_len = jnp.minimum(past_len, cache.max_len)
+            paged_info = (pages, offsets, valid, cache.page_table,
+                          past_len, cache.seg)
+            kv_pos = positions  # ALiBi handled inside the paged attention
+        else:
+            kv_pos = jnp.broadcast_to(jnp.arange(cache.max_len, dtype=jnp.int32), (B, cache.max_len))
     else:
         kv_pos = positions
 
     bias = None
-    if cfg.alibi:
+    slopes = alibi_slopes(cfg.n_heads, cfg.alibi_bias_max) if cfg.alibi else None
+    if cfg.alibi and not paged:
         bias = alibi_bias_from_positions(positions, kv_pos, cfg.n_heads, cfg.alibi_bias_max)
+    elif cfg.alibi and paged and fresh_prefill:
+        # paged fresh prefill attends the local chunk only
+        bias = alibi_bias_from_positions(positions, positions, cfg.n_heads, cfg.alibi_bias_max)
     if cfg.prefix_lm and prefix_mask is not None:
         # visible where causal OR key-in-prefix (ref modeling_mpt.py:119-131)
         q_pos = positions
@@ -206,7 +266,35 @@ def decoder_forward(
         extra = jnp.where(same, 0.0, jnp.float32(-1e9))[:, None, :, :]
         bias = extra if bias is None else bias + extra
 
-    if cache is not None:
+    if paged:
+        def body(carry, xs):
+            carry_h, = carry
+            lp, idx = xs
+            h_out, staged = _layer_forward(
+                lp, carry_h, bias, segment_ids, positions, cfg,
+                (cache.kv, cache.kv_scale, idx), new_cache_seg, None,
+                attn_impl, paged_info, fresh_prefill, slopes,
+            )
+            return (h_out,), staged
+
+        if remat:
+            body = jax.checkpoint(body)
+        L = cfg.n_layers
+        (h,), (stage_k, stage_v, stage_sk, stage_sv) = jax.lax.scan(
+            body,
+            (h,),
+            (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+        )
+        pages, offsets, valid = paged_info[0], paged_info[1], paged_info[2]
+        kvp, kvsp = _paged_write_all(
+            cache.kv, cache.kv_scale, stage_k, stage_v, stage_sk, stage_sv,
+            pages, offsets, valid,
+        )
+        new_cache = PagedKVCache(
+            kv=kvp, seg=new_cache_seg, page_table=cache.page_table,
+            alloc=cache.alloc, kv_scale=kvsp,
+        )
+    elif cache is not None:
         def body(carry, lp):
             carry_h, k_all, v_all, ks_all, vs_all, idx = carry
             h_out, (k_all, v_all, ks_all, vs_all) = _layer_forward(
@@ -263,6 +351,7 @@ def forward(
     sequence_id: Optional[jax.Array] = None,
     attn_impl: str = "auto",
     remat: bool = False,
+    fresh_prefill: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, input_ids)
@@ -275,7 +364,7 @@ def forward(
         params, cfg, inputs_embeds,
         positions=positions, segment_ids=segment_ids, cache=cache,
         prefix_mask=prefix_mask, sequence_id=sequence_id,
-        attn_impl=attn_impl, remat=remat,
+        attn_impl=attn_impl, remat=remat, fresh_prefill=fresh_prefill,
     )
     return lm_head(params, cfg, h), new_cache
 

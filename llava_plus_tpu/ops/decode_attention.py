@@ -50,9 +50,12 @@ def _kernel(q_ref, k_ref, v_ref, seg_ref, ks_ref, vs_ref,
 
     q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
     k = k_ref[0, 0].astype(jnp.float32)          # [sblk, D]
+    # HIGHEST: decode is HBM-bandwidth-bound, so full-f32 MXU passes are
+    # free and keep the kernel as accurate as XLA's f32 decode matvec
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )                                             # [G, sblk]
     if quantized:
         scores = scores * ks_ref[0, 0, :, 0][None, :]
@@ -72,7 +75,8 @@ def _kernel(q_ref, k_ref, v_ref, seg_ref, ks_ref, vs_ref,
         p = p * vs_ref[0, 0, :, 0][None, :]
     v = v_ref[0, 0].astype(jnp.float32)           # [sblk, D]
     acc_s[:] = acc_s[:] * alpha + jnp.dot(
-        p, v, preferred_element_type=jnp.float32
+        p, v, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(sj == pl.num_programs(2) - 1)

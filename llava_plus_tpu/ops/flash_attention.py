@@ -161,7 +161,10 @@ def _fwd(
         if use_segments else pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((1, 1, T), lambda b, qi, kj: (b, 0, 0))
         if use_segments else pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec((1, slopes.shape[1]), lambda b, qi, kj: (0, 0))
+        # SMEM: the kernel does a dynamic per-head scalar read
+        # (slopes_ref[0, bh % H]) — a VMEM lane index can't be proven
+        # 128-aligned by Mosaic and fails to compile
+        pl.BlockSpec(memory_space=pltpu.SMEM)
         if use_alibi else pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((1, block_q, D), lambda b, qi, kj: (b, qi, 0)),
         pl.BlockSpec((1, block_k, D), lambda b, qi, kj: (b, kj, 0)),
@@ -399,7 +402,8 @@ def _bwd(
         return [
             seg3 if use_segments else pl.BlockSpec(memory_space=pl.ANY),
             seg3 if use_segments else pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, slopes.shape[1]), lambda b, i, j: (0, 0))
+            # SMEM: dynamic per-head scalar read (see _fwd)
+            pl.BlockSpec(memory_space=pltpu.SMEM)
             if use_alibi else pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, T), lambda b, i, j: (b, 0, 0)),  # lse
             pl.BlockSpec((1, 1, T), lambda b, i, j: (b, 0, 0)),  # delta

@@ -92,6 +92,7 @@ def _kernel(
     q_ref,                  # [1, Hkv, G*Tq, D] (block over b)
     curk_ref,               # [1, Tq, Hkv, D]
     curv_ref,               # [1, Tq, Hkv, D]
+    slopes_ref,             # [Hkv, G*Tq] ALiBi slopes (zeros if unused)
     pool_ref,               # [NP, 2, Hkv, P, D] in HBM (ANY)
     scale_ref,              # [NP, 2, Hkv, P] in HBM (ANY) or dummy
     # outputs
@@ -110,6 +111,7 @@ def _kernel(
     batch: int,
     has_cur: bool,
     n_cur: int,
+    has_alibi: bool,
 ):
     b, blk = pl.program_id(0), pl.program_id(1)
     NP, _, Hkv, P, D = pool_ref.shape
@@ -179,6 +181,16 @@ def _kernel(
         scores = scores * sm_scale
 
         tok = blk * T + jax.lax.broadcasted_iota(jnp.int32, (1, 1, T), 2)
+        if has_alibi:
+            # ALiBi: bias = -slope_h * (q_pos - kv_pos). Pool pages hold
+            # tokens in logical order, so kv_pos = blk*T + tok; query col
+            # c = g*n_cur + t sits at q_pos = length + (c % n_cur). All
+            # visible entries have kv_pos < length <= q_pos.
+            qoff = jax.lax.broadcasted_iota(
+                jnp.int32, (1, q_ref.shape[2], 1), 1
+            ) % n_cur
+            dist = (length + qoff - tok).astype(jnp.float32)
+            scores = scores - slopes_ref[...][:, :, None] * dist
         scores = jnp.where(tok < length, scores, NEG_INF)
 
         m_prev = jnp.where(blk == 0, jnp.full_like(m_s, NEG_INF), m_s[...])
@@ -231,6 +243,11 @@ def _kernel(
                 jtok = jax.lax.broadcasted_iota(
                     jnp.int32, (1, G2, n_cur), 2
                 )
+                if has_alibi:
+                    # chunk tokens sit at positions length + j: the
+                    # relative distance within the self block is q - j
+                    dist = (qtok - jtok).astype(jnp.float32)
+                    s_self = s_self - slopes_ref[...][:, :, None] * dist
                 mask = (jtok <= qtok) & (jtok < valid_ref[b])
                 s_self = jnp.where(mask, s_self, NEG_INF)
                 m_cur2 = jnp.max(s_self, axis=-1)[..., None]
@@ -268,6 +285,7 @@ def paged_decode_attention(
     #                          (0 = dead slot; chunk validity is a prefix)
     *,
     sm_scale: float | None = None,
+    alibi_slopes=None,       # [H] f32 per-head ALiBi slopes (MPT)
     pages_per_block: int = 8,
     interpret=None,
 ) -> jax.Array:
@@ -276,7 +294,9 @@ def paged_decode_attention(
     Tq == 1 is the decode step; Tq > 1 is the speculative-verify /
     chunked-continuation step: chunk token j sits at logical position
     ``lengths[b] + j`` and queries attend the pool plus the causal prefix
-    of the chunk. Returns [B, Tq, H, D]."""
+    of the chunk. ``alibi_slopes`` adds the MPT bias
+    ``-slope_h * (q_pos - kv_pos)`` (ref mpt/attention.py:258-300).
+    Returns [B, Tq, H, D]."""
     if interpret is None:
         interpret = _interpret_default()
     if q.shape[-1] % 128 != 0:
@@ -290,7 +310,7 @@ def paged_decode_attention(
         out = paged_attention_reference(
             q, kv_pages, page_ids, lengths, kv_scale,
             cur_k=cur_k, cur_v=cur_v, cur_valid=cur_valid,
-            sm_scale=sm_scale,
+            sm_scale=sm_scale, alibi_slopes=alibi_slopes,
         )
         return out.astype(q.dtype)
     B, Tq, H, D = q.shape
@@ -318,6 +338,16 @@ def paged_decode_attention(
         cur_v = cur_k
     if cur_valid is None:
         cur_valid = jnp.full((B,), Tq, jnp.int32)
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        # [H] -> [Hkv, G2]: head h = hkv*G + g (the q reshape below is
+        # Hkv-major), flattened col c = g*Tq + t shares g's slope
+        slopes = jnp.repeat(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(Hkv, G), Tq,
+            axis=1,
+        )
+    else:
+        slopes = jnp.zeros((Hkv, G2), jnp.float32)
 
     scratch = [
         pltpu.VMEM((2, ppcb, 2, Hkv, P, D), kv_pages.dtype),
@@ -342,6 +372,7 @@ def paged_decode_attention(
             ),
             pl.BlockSpec((1, Tq, Hkv, D), lambda b, j, *_: (b, 0, 0, 0)),
             pl.BlockSpec((1, Tq, Hkv, D), lambda b, j, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((Hkv, G2), lambda b, j, *_: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -353,7 +384,7 @@ def paged_decode_attention(
     out = pl.pallas_call(
         functools.partial(
             _kernel, sm_scale=sm_scale, quantized=quantized, ppcb=ppcb,
-            batch=B, has_cur=has_cur, n_cur=Tq,
+            batch=B, has_cur=has_cur, n_cur=Tq, has_alibi=has_alibi,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G2, D), q.dtype),
@@ -363,7 +394,7 @@ def paged_decode_attention(
     )(lengths.astype(jnp.int32), page_ids.astype(jnp.int32).reshape(-1),
       cur_valid.astype(jnp.int32),
       qg, cur_k.reshape(B, Tq, Hkv, D), cur_v.reshape(B, Tq, Hkv, D),
-      kv_pages, kv_scale)
+      slopes, kv_pages, kv_scale)
     # [B, Hkv, G*Tq, D] -> [B, Tq, H, D]
     return (out.reshape(B, Hkv, G, Tq, D)
             .transpose(0, 3, 1, 2, 4).reshape(B, Tq, H, D))
@@ -388,6 +419,7 @@ def gather_pages(kv_pages, page_ids, kv_scale=None, dtype=jnp.float32):
 def paged_attention_reference(
     q, kv_pages, page_ids, lengths, kv_scale=None,
     cur_k=None, cur_v=None, cur_valid=None, *, sm_scale=None,
+    alibi_slopes=None,
 ):
     """Gather-based XLA reference (tests and the CPU path).
 
@@ -422,9 +454,20 @@ def paged_attention_reference(
         q_positions = (lengths - 1)[:, None]
         kv_positions = None
     q_seg = jnp.ones((B, Tq), jnp.int32)
+    bias = None
+    if alibi_slopes is not None:
+        kvp = (kv_positions if kv_positions is not None
+               else jnp.broadcast_to(
+                   jnp.arange(k.shape[1], dtype=jnp.int32)[None],
+                   (B, k.shape[1])))
+        dist = (q_positions[:, :, None] - kvp[:, None, :]).astype(
+            jnp.float32
+        )
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        bias = -jnp.abs(dist)[:, None, :, :] * slopes[None, :, None, None]
     return xla_attention(
         q, k.astype(q.dtype), v.astype(q.dtype),
-        causal=True, q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+        causal=True, bias=bias, q_segment_ids=q_seg, kv_segment_ids=kv_seg,
         q_positions=q_positions, kv_positions=kv_positions,
         softmax_scale=sm_scale,
     )

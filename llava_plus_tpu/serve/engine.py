@@ -155,8 +155,6 @@ class BatchedEngine:
         # (models/llama.py gates the kernel at T <= 8)
         self.speculate = min(max(int(speculate), 0), 7)
         if paged:
-            assert cfg.language_model_type == "llama", \
-                "paged KV cache currently supports the llama decoder"
             assert max_seq_len % page_size == 0
             assert prefill_bucket % page_size == 0
             total = pool_tokens or max_slots * max_seq_len
@@ -209,8 +207,11 @@ class BatchedEngine:
         batch = batch or self.max_slots
         seq_len = seq_len or self.max_seq_len
         if self.paged and not force_dense:
+            lm_cfg = (self.cfg.text
+                      if self.cfg.language_model_type == "llama"
+                      else self.cfg.mpt)
             cache = llama.PagedKVCache.create(
-                self.cfg.text, batch,
+                lm_cfg, batch,
                 num_pages=self.num_pages,
                 max_pages_per_slot=self.max_seq_len // self.page_size,
                 page_size=self.page_size,

@@ -104,6 +104,85 @@ def test_paged_multimodal(engines):
     assert got == ref
 
 
+def _tiny_mpt_llava():
+    from llava_plus_tpu.models.configs import (
+        ClipVisionConfig, LlavaConfig, MptConfig,
+    )
+
+    return LlavaConfig(
+        language_model_type="mpt",
+        mpt=MptConfig(
+            vocab_size=512, d_model=64, n_layers=2, n_heads=4,
+            expansion_ratio=2, max_seq_len=256, alibi=True,
+        ),
+        vision=ClipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=28, patch_size=14,
+        ),
+        mm_hidden_size=32,
+        max_sequence_length=256,
+    )
+
+
+def test_mpt_paged_matches_dense():
+    """The paged pool serves the MPT decoder too (VERDICT r2 item 5):
+    ALiBi rides the paged attention as per-head slopes/bias, so
+    paged MPT streams match the dense-cache engine token-for-token."""
+    cfg = _tiny_mpt_llava()
+    params = llava_model.init_params(
+        cfg, jax.random.PRNGKey(2), dtype=jnp.float32
+    )
+    tok = CharTokenizer()
+    dense = BatchedEngine(
+        params, cfg, tok, max_slots=4, max_seq_len=96,
+        prefill_bucket=32, cache_dtype=jnp.float32,
+    )
+    paged = BatchedEngine(
+        params, cfg, tok, max_slots=4, max_seq_len=96,
+        prefill_bucket=32, cache_dtype=jnp.float32,
+        paged=True, page_size=32,
+    )
+    try:
+        for prompt in ["hello", "abab abab abab", "xyz"]:
+            ref = dense.generate(Request(prompt=prompt, max_new_tokens=8,
+                                         temperature=0.0))
+            got = paged.generate(Request(prompt=prompt, max_new_tokens=8,
+                                         temperature=0.0))
+            assert got == ref, (prompt, got, ref)
+    finally:
+        dense.stop()
+        paged.stop()
+
+
+def test_mpt_paged_speculative():
+    """--paged --speculate on the MPT decoder (greedy-exact)."""
+    cfg = _tiny_mpt_llava()
+    params = llava_model.init_params(
+        cfg, jax.random.PRNGKey(2), dtype=jnp.float32
+    )
+    tok = CharTokenizer()
+    dense = BatchedEngine(
+        params, cfg, tok, max_slots=4, max_seq_len=96,
+        prefill_bucket=32, cache_dtype=jnp.float32,
+    )
+    eng = BatchedEngine(
+        params, cfg, tok, max_slots=4, max_seq_len=96,
+        prefill_bucket=32, cache_dtype=jnp.float32,
+        paged=True, page_size=32, speculate=3,
+    )
+    try:
+        prompt = "the cat sat on the mat the cat sat on the"
+        ref = dense.generate(Request(prompt=prompt, max_new_tokens=10,
+                                     temperature=0.0))
+        got = eng.generate(Request(prompt=prompt, max_new_tokens=10,
+                                   temperature=0.0))
+        assert got == ref, (got, ref)
+        assert eng.spec_steps > 0
+    finally:
+        dense.stop()
+        eng.stop()
+
+
 def test_paged_speculative_matches_dense(engines):
     """--paged --speculate serves greedy streams token-for-token equal to
     the plain dense engine (VERDICT r2 item 4: the two flagship decode

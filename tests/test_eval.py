@@ -2,6 +2,7 @@
 POPE/TextVQA scorer behavior."""
 
 import json
+import os
 import types
 
 import numpy as np
@@ -147,3 +148,43 @@ def test_model_vqa_loader_chunked(tmp_path):
             json.loads(l)["question_id"] for l in open(tmp_path / f"a{k}.jsonl")
         }
     assert all_ids == {0, 1, 2, 3, 4}
+
+
+def test_gpt_review_visual_offline_stub(tmp_path, monkeypatch):
+    """The visual judge pipeline runs end-to-end offline against the
+    shipped benchmark fixtures (caps/boxes context + qa90 questions),
+    with LLAVA_GPT_REVIEW_STUB providing a deterministic review (ref
+    llava/eval/eval_gpt_review_visual.py consumed via --context)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    q = os.path.join(
+        repo, "playground/data/coco2014_val_qa_eval/qa90_questions.jsonl"
+    )
+    ans = os.path.join(
+        repo, "playground/data/coco2014_val_qa_eval/qa90_gpt4_answer.jsonl"
+    )
+    ctx = os.path.join(
+        repo, "llava_plus_tpu/eval/table/caps_boxes_coco2014_val_80.jsonl"
+    )
+    rule = os.path.join(repo, "llava_plus_tpu/eval/table/rule.json")
+    out = tmp_path / "review.jsonl"
+    env = dict(os.environ, LLAVA_GPT_REVIEW_STUB="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "llava_plus_tpu.eval.eval_gpt_review_visual",
+         "-q", q, "-c", ctx, "-a", ans, ans, "-r", rule,
+         "-o", str(out)],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 90
+    assert all(row["tuple"] == [5.0, 4.0] for row in rows)
+    s = subprocess.run(
+        [sys.executable, "-m", "llava_plus_tpu.eval.summarize_gpt_review",
+         "-d", str(tmp_path), "-f", "review.jsonl"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert s.returncode == 0, s.stderr
+    assert "all" in s.stdout

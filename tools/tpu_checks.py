@@ -7,13 +7,25 @@ runs the TPU-only equality checks on the real chip and writes
 ``TPUCHECKS.json`` at the repo root (wired into bench.py's chain so every
 round records a kernel pass/fail artifact).
 
-Checks (kernel vs XLA reference):
+Pass criterion: on TPU both the Pallas kernel and the XLA production path
+run their matmuls at default precision (bf16 MXU passes), so absolute
+kernel-vs-XLA thresholds only measure blocking noise. Instead each check
+computes a ground truth with ``jax.default_matmul_precision("float32")``
+and passes iff
+
+    err(kernel, truth) <= max(RATIO * err(xla, truth), FLOOR)
+
+i.e. the kernel is as accurate as the XLA implementation it replaces
+(errors are max-abs normalized by the truth RMS).
+
+Checks:
   flash_fwd          Pallas flash attention fwd (causal, segment ids, GQA)
   flash_alibi        fwd with ALiBi slopes (MPT path)
   flash_bwd          fused Pallas dk/dv + dq backward
   decode_dense       dense flash-decode kernel (bf16 + int8 cache)
   paged_decode       manual-DMA paged kernel (bf16 + int8, self block)
   paged_multitoken   paged kernel with Tq > 1 (speculative verify path)
+  paged_alibi        paged kernel with ALiBi slopes (MPT serving path)
   int8_matmul        quantized matmul vs fp32 reference
   int4_matmul        Pallas int4 matvec vs fp32 reference
 """
@@ -34,18 +46,22 @@ sys.path.insert(0, REPO)
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+RATIO = 2.5   # kernel may be at most this factor noisier than XLA
+FLOOR = 2e-3  # and never fails under this normalized error
+
 
 def _rand(shape, seed, dtype=jnp.float32):
     rng = np.random.default_rng(seed)
     return jnp.asarray(rng.standard_normal(shape).astype(np.float32), dtype)
 
 
-def _maxerr(a, b):
-    """Max abs error normalized by the reference RMS: both sides run
-    bf16 MXU matmuls with different blocking/reduction orders, so the
-    meaningful bound is relative to the signal magnitude."""
+def _err(a, b, mask=None):
+    """Max abs error normalized by the reference RMS."""
     af = a.astype(jnp.float32)
     bf = b.astype(jnp.float32)
+    if mask is not None:
+        af = af * mask
+        bf = bf * mask
     rms = jnp.sqrt(jnp.mean(bf * bf)) + 1e-12
     return float(jnp.max(jnp.abs(af - bf)) / rms)
 
@@ -61,13 +77,13 @@ def check_flash_fwd():
     seg = jnp.asarray(
         (np.arange(T)[None] < np.array([T, T - 100])[:, None]).astype(np.int32)
     )
-    got = flash_attention(q, k, v, causal=True,
-                          q_segment_ids=seg, kv_segment_ids=seg)
-    ref = xla_attention(q, k, v, causal=True,
-                        q_segment_ids=seg, kv_segment_ids=seg)
-    # padding rows are don't-care
-    m = seg[:, :, None, None].astype(jnp.float32)
-    return _maxerr(got * m, ref * m), 2e-2
+    kw = dict(causal=True, q_segment_ids=seg, kv_segment_ids=seg)
+    got = flash_attention(q, k, v, **kw)
+    ref = xla_attention(q, k, v, **kw)
+    with jax.default_matmul_precision("float32"):
+        truth = xla_attention(q, k, v, **kw)
+    m = seg[:, :, None, None].astype(jnp.float32)  # padding: don't-care
+    return got, ref, truth, m
 
 
 def check_flash_alibi():
@@ -83,7 +99,9 @@ def check_flash_alibi():
     bias = alibi_bias_from_positions(pos, pos, H)
     got = flash_attention(q, k, v, causal=True, alibi_nheads=H)
     ref = xla_attention(q, k, v, causal=True, bias=bias)
-    return _maxerr(got, ref), 2e-2
+    with jax.default_matmul_precision("float32"):
+        truth = xla_attention(q, k, v, causal=True, bias=bias)
+    return got, ref, truth, None
 
 
 def check_flash_bwd():
@@ -95,15 +113,16 @@ def check_flash_bwd():
     k = _rand((B, T, H, D), 7)
     v = _rand((B, T, H, D), 8)
 
-    def loss_flash(q, k, v):
-        return jnp.sum(flash_attention(q, k, v, causal=True) ** 2)
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v, causal=True) ** 2)
 
-    def loss_ref(q, k, v):
-        return jnp.sum(xla_attention(q, k, v, causal=True) ** 2)
-
-    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
-    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    return max(_maxerr(a, b) for a, b in zip(gf, gr)), 5e-2
+    gf = jax.grad(loss(flash_attention), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(xla_attention), argnums=(0, 1, 2))(q, k, v)
+    with jax.default_matmul_precision("float32"):
+        gt = jax.grad(loss(xla_attention), argnums=(0, 1, 2))(q, k, v)
+    # report the worst input-gradient error pair
+    errs = [( _err(a, t), _err(b, t)) for a, b, t in zip(gf, gr, gt)]
+    return max(errs, key=lambda p: p[0] / (p[1] + 1e-9))
 
 
 def check_decode_dense(quantized):
@@ -130,12 +149,15 @@ def check_decode_dense(quantized):
         kd = kq.astype(jnp.float32) * ks
         vd = vq.astype(jnp.float32) * vs
         k, v = kq, vq
-    got = decode_attention(q, k, v, seg, ks, vs, interpret=False)
-    ref = xla_attention(
-        q, jnp.swapaxes(kd, 1, 2), jnp.swapaxes(vd, 1, 2), causal=False,
-        q_segment_ids=jnp.ones((B, 1), jnp.int32), kv_segment_ids=seg,
-    )
-    return _maxerr(got, ref), 5e-2 if quantized else 2e-3
+    got = decode_attention(q, k, v, seg, ks, vs)
+    kw = dict(causal=False, q_segment_ids=jnp.ones((B, 1), jnp.int32),
+              kv_segment_ids=seg)
+    ref = xla_attention(q, jnp.swapaxes(kd, 1, 2), jnp.swapaxes(vd, 1, 2),
+                        **kw)
+    with jax.default_matmul_precision("float32"):
+        truth = xla_attention(q, jnp.swapaxes(kd, 1, 2),
+                              jnp.swapaxes(vd, 1, 2), **kw)
+    return got, ref, truth, None
 
 
 def _paged_setup(seed, quantized, n_cur=1):
@@ -160,35 +182,50 @@ def _paged_setup(seed, quantized, n_cur=1):
     return q, kv_dev, pt, lengths, scale, ck, cv
 
 
-def check_paged_decode(quantized):
+def _paged_pair(q, kv, pt, lens, scale, ck, cv, valid, slopes=None):
     from llava_plus_tpu.ops.paged_attention import (
         paged_attention_reference, paged_decode_attention,
     )
 
+    got = paged_decode_attention(q, kv, pt, lens, scale, cur_k=ck, cur_v=cv,
+                                 cur_valid=valid, alibi_slopes=slopes)
+    ref = paged_attention_reference(q, kv, pt, lens, scale, cur_k=ck,
+                                    cur_v=cv, cur_valid=valid,
+                                    alibi_slopes=slopes)
+    with jax.default_matmul_precision("float32"):
+        truth = paged_attention_reference(q, kv, pt, lens, scale, cur_k=ck,
+                                          cur_v=cv, cur_valid=valid,
+                                          alibi_slopes=slopes)
+    return got, ref, truth
+
+
+def check_paged_decode(quantized):
     q, kv, pt, lens, scale, ck, cv = _paged_setup(20, quantized)
     valid = jnp.asarray([1, 1, 1, 0], jnp.int32)
-    got = paged_decode_attention(q, kv, pt, lens, scale, cur_k=ck, cur_v=cv,
-                                 cur_valid=valid, interpret=False)
-    ref = paged_attention_reference(q, kv, pt, lens, scale, cur_k=ck,
-                                    cur_v=cv, cur_valid=valid)
-    return _maxerr(got, ref), 5e-2 if quantized else 2e-3
+    got, ref, truth = _paged_pair(q, kv, pt, lens, scale, ck, cv, valid)
+    m = valid[:, None, None, None].astype(jnp.float32)
+    return got, ref, truth, m
 
 
 def check_paged_multitoken(quantized):
-    from llava_plus_tpu.ops.paged_attention import (
-        paged_attention_reference, paged_decode_attention,
-    )
-
     k1 = 4  # verify chunk: current token + 3 proposals
     q, kv, pt, lens, scale, ck, cv = _paged_setup(30, quantized, n_cur=k1)
     counts = jnp.asarray([4, 2, 1, 0], jnp.int32)  # valid-prefix lengths
-    got = paged_decode_attention(q, kv, pt, lens, scale, cur_k=ck, cur_v=cv,
-                                 cur_valid=counts, interpret=False)
-    ref = paged_attention_reference(q, kv, pt, lens, scale, cur_k=ck,
-                                    cur_v=cv, cur_valid=counts)
+    got, ref, truth = _paged_pair(q, kv, pt, lens, scale, ck, cv, counts)
     m = (jnp.arange(k1)[None] < counts[:, None]).astype(jnp.float32)
-    m = m[:, :, None, None]
-    return _maxerr(got * m, ref * m), 5e-2 if quantized else 2e-3
+    return got, ref, truth, m[:, :, None, None]
+
+
+def check_paged_alibi():
+    from llava_plus_tpu.models.mpt import alibi_slopes
+
+    q, kv, pt, lens, scale, ck, cv = _paged_setup(50, False, n_cur=2)
+    counts = jnp.asarray([2, 2, 1, 0], jnp.int32)
+    slopes = alibi_slopes(q.shape[2])
+    got, ref, truth = _paged_pair(q, kv, pt, lens, scale, ck, cv, counts,
+                                  slopes=slopes)
+    m = (jnp.arange(2)[None] < counts[:, None]).astype(jnp.float32)
+    return got, ref, truth, m[:, :, None, None]
 
 
 def check_quant_matmul(bits):
@@ -201,9 +238,13 @@ def check_quant_matmul(bits):
     x = _rand((4, K), 41, jnp.bfloat16)
     qw = quantize_array_int4(w) if bits == 4 else quantize_array(w)
     got = matmul(x, qw).astype(jnp.float32)
-    ref = jnp.dot(x.astype(jnp.float32),
-                  dequantize_array(qw, jnp.float32))
-    return _maxerr(got, ref), 0.05
+    # ref = the XLA production path the kernel replaces: dequantize to the
+    # activation dtype (bf16) and matmul at default precision
+    ref = jnp.dot(x, dequantize_array(qw, x.dtype)).astype(jnp.float32)
+    with jax.default_matmul_precision("float32"):
+        truth = jnp.dot(x.astype(jnp.float32),
+                        dequantize_array(qw, jnp.float32))
+    return got, ref, truth, None
 
 
 CHECKS = [
@@ -216,6 +257,7 @@ CHECKS = [
     ("paged_decode_int8", lambda: check_paged_decode(True)),
     ("paged_multitoken_bf16", lambda: check_paged_multitoken(False)),
     ("paged_multitoken_int8", lambda: check_paged_multitoken(True)),
+    ("paged_alibi", check_paged_alibi),
     ("int8_matmul", lambda: check_quant_matmul(8)),
     ("int4_matmul", lambda: check_quant_matmul(4)),
 ]
@@ -228,10 +270,20 @@ def main(out_path=None):
     for name, fn in CHECKS:
         t0 = time.time()
         try:
-            err, tol = fn()
-            passed = err < tol
+            out = fn()
+            if len(out) == 2:                 # (err_kernel, err_xla)
+                err_k, err_x = out
+            else:
+                got, ref, truth, m = out
+                err_k = _err(got, truth, m)
+                err_x = _err(ref, truth, m)
+            tol = max(RATIO * err_x, FLOOR)
+            passed = err_k <= tol
             results[name] = {
-                "pass": bool(passed), "max_err": round(err, 6), "tol": tol,
+                "pass": bool(passed),
+                "kernel_err": round(err_k, 6),
+                "xla_err": round(err_x, 6),
+                "tol": round(tol, 6),
                 "sec": round(time.time() - t0, 1),
             }
             if not passed:
@@ -246,6 +298,8 @@ def main(out_path=None):
         "platform": platform,
         "on_tpu": platform == "tpu",
         "all_pass": bool(ok),
+        "criterion": f"kernel_err <= max({RATIO} * xla_err, {FLOOR}) "
+                     "vs f32-precision ground truth",
         "checks": results,
     }
     out_path = out_path or os.path.join(REPO, "TPUCHECKS.json")
