@@ -208,8 +208,12 @@ def measure_burst_ttft(cfg, params, kv_int8: bool, *, n_arrivals=16):
     n_text = max(PREFILL_LEN - cfg.num_image_tokens - 8, 8)
     prompt = "<image>\n" + " ".join(f"word{i}" for i in range(n_text))
     tok = DebugTokenizer(vocab_size=cfg.text.vocab_size)
+    # TTFT is emitted at prefill completion, BEFORE slot insertion
+    # (engine._prepare), so slot count does not affect the measurement —
+    # keep the slot cache small (16 dense slots of int8 KV plus prefill
+    # transients OOM a 16 GB chip next to 7B int8 weights).
     eng = BatchedEngine(
-        params, cfg, tok, max_slots=n_arrivals, max_seq_len=CACHE_LEN,
+        params, cfg, tok, max_slots=4, max_seq_len=CACHE_LEN,
         prefill_bucket=256,
         cache_dtype=jnp.int8 if kv_int8 else jnp.bfloat16,
     )
@@ -218,14 +222,17 @@ def measure_burst_ttft(cfg, params, kv_int8: bool, *, n_arrivals=16):
             return rng.normal(
                 size=(1, img_size, img_size, 3)).astype(np.float32)
 
-        # warm the compile caches (prefill at batch prefill_batch + tails)
-        warm = [Request(prompt=prompt, images=image(), max_new_tokens=2)
-                for _ in range(eng.prefill_batch + 1)]
-        for r in warm:
-            eng.submit(r)
-        for r in warm:
-            while r._chunks.get(timeout=600) is not None:
-                pass
+        # Warm EVERY prefill batch size the engine compiles (its fixed
+        # bucket set) at this prompt's seq bucket — deterministic direct
+        # _prepare calls, so the storm below measures steady-state serving
+        # (a long-running server has all (N, S) programs compiled), not
+        # XLA compile latency.
+        for n in eng._prefill_batch_sizes():
+            warm = [Request(prompt=prompt, images=image(), max_new_tokens=1)
+                    for _ in range(n)]
+            eng._prepare(warm)
+            for r in warm:
+                r._chunks.get(timeout=600)  # first-token barrier
 
         reqs = [Request(prompt=prompt, images=image(), max_new_tokens=4)
                 for _ in range(n_arrivals)]
@@ -234,7 +241,9 @@ def measure_burst_ttft(cfg, params, kv_int8: bool, *, n_arrivals=16):
         for r in reqs:
             while r._chunks.get(timeout=600) is not None:
                 pass
-        ttfts = sorted(r.ttft for r in reqs)
+        ttfts = sorted(r.ttft for r in reqs if r.ttft is not None)
+        if not ttfts:
+            return None, None
         p50 = ttfts[len(ttfts) // 2]
         p95 = ttfts[min(int(len(ttfts) * 0.95), len(ttfts) - 1)]
         return round(p50, 4), round(p95, 4)
@@ -413,6 +422,9 @@ def main():
         subprocess.run(
             [sys.executable, os.path.join(here, "tools", "tpu_checks.py")],
             timeout=1500,
+            # verdict goes to TPUCHECKS.json + stderr; bench stdout must
+            # stay exactly ONE JSON line (the driver parses it)
+            stdout=sys.stderr,
         )
     except Exception as e:
         print(f"tpu_checks failed: {e}", file=sys.stderr)

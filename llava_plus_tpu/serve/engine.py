@@ -171,6 +171,10 @@ class BatchedEngine:
         from collections import deque
 
         self.ttfts: "deque[float]" = deque(maxlen=512)
+        # burst-admission observability: arrival storms should show
+        # prefill_requests > prefill_dispatches (batched prefills)
+        self.prefill_dispatches = 0
+        self.prefill_requests = 0
         self.spec_steps = 0
         self.spec_emitted = 0
         # adaptive gating: recent per-step acceptance; when speculation
@@ -624,6 +628,8 @@ class BatchedEngine:
                     break
             try:
                 preps = self._prepare(reqs)
+                self.prefill_dispatches += 1
+                self.prefill_requests += len(reqs)
             except Exception as e:
                 logger.error(f"prefill failed: {e}")
                 for req in reqs:
@@ -634,16 +640,34 @@ class BatchedEngine:
                 if prep is not None:
                     self._ready.put(prep)
 
+    def _prefill_batch_sizes(self) -> List[int]:
+        """The FIXED set of prefill batch sizes the engine compiles:
+        powers of two up to prefill_batch (plus prefill_batch itself).
+        Every admission pads to the next size up — without this, each
+        distinct storm drain size compiles a fresh multi-second prefill
+        program and burst p95 TTFT is dominated by XLA, not the chip."""
+        sizes, p = [], 1
+        while p < self.prefill_batch:
+            sizes.append(p)
+            p *= 2
+        sizes.append(self.prefill_batch)
+        return sizes
+
     def _prepare(self, reqs: List[Request]) -> List[Optional["_Prepared"]]:
         from llava_plus_tpu.generate import prepare_multimodal_request
 
+        n_real = len(reqs)
+        N = next(s for s in self._prefill_batch_sizes() if s >= n_real)
+        pad = N - n_real
+        prompts = [r.prompt for r in reqs] + [reqs[-1].prompt] * pad
+        images = None
+        if any(r.images is not None for r in reqs):
+            images = ([r.images for r in reqs]
+                      + [reqs[-1].images] * pad)
         batch, plan = prepare_multimodal_request(
-            self.cfg, self.tokenizer, [r.prompt for r in reqs],
-            ([r.images for r in reqs]
-             if any(r.images is not None for r in reqs) else None),
+            self.cfg, self.tokenizer, prompts, images,
             max_seq_len=self.max_seq_len, prefill_bucket=self.prefill_bucket,
         )
-        N = len(reqs)
         S1 = int(batch.tokens.shape[1])
 
         # bucket prefill is dense; one [N, S1] cache shared by the batch
@@ -654,10 +678,14 @@ class BatchedEngine:
             key, sub = jax.random.split(jax.random.PRNGKey(r.seed))
             keys.append(key)
             subs.append(sub)
+        for _ in range(pad):
+            keys.append(keys[-1])
+            subs.append(subs[-1])
         firsts = self._first_sample(
             last_logits, jnp.stack(subs),
-            jnp.asarray([r.temperature for r in reqs], jnp.float32),
-            jnp.asarray([r.top_p for r in reqs], jnp.float32),
+            jnp.asarray([r.temperature for r in reqs]
+                        + [0.0] * pad, jnp.float32),
+            jnp.asarray([r.top_p for r in reqs] + [1.0] * pad, jnp.float32),
         )
         # First-token fetch == the barrier on the prefill program; emit to
         # every client NOW (before any slot/page allocation): TTFT is the

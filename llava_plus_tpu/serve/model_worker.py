@@ -333,6 +333,8 @@ class ModelWorker:
         if engine is not None:
             m["engine_active_slots"] = engine.num_active
             m["engine_max_slots"] = engine.max_slots
+            m["engine_prefill_dispatches"] = engine.prefill_dispatches
+            m["engine_prefill_requests"] = engine.prefill_requests
         return m
 
     # -- data plane ---------------------------------------------------------
@@ -496,6 +498,17 @@ def main():
         from llava_plus_tpu.mm_utils import get_model_name_from_path
 
         name = args.model_name or get_model_name_from_path(args.model_path)
+        if args.load_4bit and "13b" not in (name or "").lower():
+            # Measured fence (BENCH r3 / README perf table): on models
+            # whose int8 weights fit the chip (7B: 6.6 GB), int8 decodes
+            # faster end-to-end (70 vs 63 img+tok/s at batch 1) — int4's
+            # role is capacity (13B on a 16 GB chip), not speed.
+            logger.warning(
+                "--load-4bit on %s: int8 (--load-8bit) measures faster "
+                "end-to-end on models that fit int8 (7B: 70 vs 63 "
+                "img+tok/s at batch 1); int4 is the capacity knob for "
+                "13B-class models.", name,
+            )
         backend = JaxBackend(
             args.model_path, args.model_base, name,
             use_engine=not args.no_engine, max_slots=args.max_slots,
