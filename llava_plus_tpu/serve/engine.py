@@ -99,6 +99,32 @@ class _Prepared:
     out_ids: List[int]
     history: List[int]
     needed_pages: int
+    # chain hashes of this prompt's full pages (paged + prefix cache on):
+    # published at insert so later requests can reuse the pages
+    page_keys: List[bytes] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class _PreparedSuffix:
+    """A request whose prompt PREFIX was found in the page prefix cache:
+    only the suffix still needs prefilling, over the pool (pages
+    ``hit_pages`` hold positions [0, prefix_len) already). Unlike
+    :class:`_Prepared`, no device work has happened yet — the suffix
+    prefill runs on the engine loop (it consumes the live pool cache) and
+    the first token is emitted there. ``hit_pages`` were increfed at
+    match time and stay pinned until the slot finishes (or insert fails)."""
+
+    req: Request
+    hit_pages: List[int]
+    prefix_len: int
+    suffix_ids: np.ndarray   # fused ids for [prefix_len, prompt_len)
+    prompt_len: int
+    budget: int
+    key: jax.Array
+    sub: jax.Array           # first-token sampling key
+    history: List[int]       # full fused prompt ids
+    needed_pages: int        # FRESH pages beyond the hits
+    page_keys: List[bytes]
 
 
 class BatchedEngine:
@@ -120,6 +146,7 @@ class BatchedEngine:
         page_size: int = 128,
         pool_tokens: Optional[int] = None,
         speculate: int = 0,
+        prefix_cache: bool = True,
     ):
         """``paged=True`` switches the KV cache to a paged pool: pages are
         allocated per request for prompt + budget, so long contexts
@@ -160,8 +187,23 @@ class BatchedEngine:
             total = pool_tokens or max_slots * max_seq_len
             self.num_pages = max(total // page_size, max_seq_len // page_size)
             self._free_pages = list(range(self.num_pages))
+            # page lifetime is refcounted: one ref per slot page table the
+            # page appears in + one while published in the prefix cache; a
+            # page returns to the free list only at refcount 0. All
+            # refcount / free-list / prefix-cache state is guarded by
+            # _page_lock (prefill thread matches, engine loop allocates).
+            self._page_refs = [0] * self.num_pages
+            self._page_lock = threading.Lock()
+            self._prefix = None
+            if prefix_cache:
+                from llava_plus_tpu.serve.prefix_cache import PagePrefixCache
+
+                self._prefix = PagePrefixCache(
+                    incref=self._incref_page, decref=self._decref_page,
+                )
         else:
             self.num_pages = 0
+            self._prefix = None
 
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._ready: "queue.Queue[_Prepared]" = queue.Queue()
@@ -175,6 +217,8 @@ class BatchedEngine:
         # prefill_requests > prefill_dispatches (batched prefills)
         self.prefill_dispatches = 0
         self.prefill_requests = 0
+        # tokens of prompt KV served from the page prefix cache (paged)
+        self.prefix_hit_tokens = 0
         self.spec_steps = 0
         self.spec_emitted = 0
         # adaptive gating: recent per-step acceptance; when speculation
@@ -263,6 +307,59 @@ class BatchedEngine:
                          else jax.device_put(cache.v_scale, head)),
             )
         return cache
+
+    # -- paged-pool page accounting --------------------------------------
+
+    def _incref_page(self, pid: int):
+        """Caller holds _page_lock. Only pages already referenced can gain
+        references (a page at refcount 0 is on the free list)."""
+        assert self._page_refs[pid] > 0
+        self._page_refs[pid] += 1
+
+    def _decref_page(self, pid: int):
+        """Caller holds _page_lock."""
+        self._page_refs[pid] -= 1
+        assert self._page_refs[pid] >= 0
+        if self._page_refs[pid] == 0:
+            self._free_pages.append(pid)
+
+    def _alloc_pages(self, n: int) -> List[int]:
+        """Pop ``n`` pages off the free list at refcount 1, evicting LRU
+        prefix-cache entries if needed (an evicted entry only frees its
+        page when no live slot references it)."""
+        with self._page_lock:
+            while (len(self._free_pages) < n and self._prefix is not None
+                   and self._prefix.evict_lru()):
+                pass
+            if len(self._free_pages) < n:
+                raise _PoolExhausted(n)
+            pages = [self._free_pages.pop() for _ in range(n)]
+            for p in pages:
+                self._page_refs[p] = 1
+            return pages
+
+    def _release_pages(self, pages: List[int]):
+        with self._page_lock:
+            for p in pages:
+                self._decref_page(p)
+
+    def _match_prefix(self, keys: List[bytes]) -> List[int]:
+        """Longest-prefix page match, pinning the hits (prefill thread).
+        The returned pages carry one reference for the matching request;
+        released on slot finish or failed insert."""
+        if self._prefix is None or not keys:
+            return []
+        with self._page_lock:
+            pages = self._prefix.match(keys)
+            for p in pages:
+                self._incref_page(p)
+            return pages
+
+    def _publish_prefix(self, keys: List[bytes], pages: List[int]):
+        if self._prefix is None or not keys:
+            return
+        with self._page_lock:
+            self._prefix.publish(keys, pages[:len(keys)])
 
     def _build_programs(self):
         cfg = self.cfg
@@ -377,6 +474,65 @@ class BatchedEngine:
                 tokens, first_token, slot, axis=0
             )
             return cache, tokens
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill_suffix(params, cache, slot, pages_vec, n_alloc,
+                           prefix_len, suffix_tokens, suffix_seg):
+            """Prefill ONLY a prompt's suffix over the paged pool: the
+            prefix's KV lives in already-populated (shared) pages —
+            pages_vec[:prefix_len // P]. Attaches the page table / alloc /
+            prefix seg for this slot, then runs the suffix chunk as a
+            multi-token cache continuation (same deferred-write path as
+            speculative verify; suffix positions are contiguous from
+            prefix_len). Returns the last valid suffix position's logits.
+
+            suffix_tokens / suffix_seg: [1, Tb] right-padded to a bucket.
+            Writes land only in the FRESH pages (suffix positions >=
+            prefix_len); shared prefix pages are read-only here."""
+            Tb = suffix_tokens.shape[1]
+            pos_idx = jnp.arange(cache.seg.shape[1], dtype=jnp.int32)
+            seg_prefix = (pos_idx < prefix_len).astype(jnp.int32)
+            cache = dataclasses.replace(
+                cache,
+                page_table=cache.page_table.at[slot].set(pages_vec),
+                seg=cache.seg.at[slot].set(seg_prefix),
+                alloc=cache.alloc.at[slot].set(n_alloc),
+            )
+            row = llama.PagedKVCache(
+                kv=cache.kv,
+                seg=jax.lax.dynamic_slice_in_dim(cache.seg, slot, 1, 0),
+                page_table=jax.lax.dynamic_slice_in_dim(
+                    cache.page_table, slot, 1, 0
+                ),
+                alloc=jax.lax.dynamic_slice_in_dim(cache.alloc, slot, 1, 0),
+                kv_scale=cache.kv_scale,
+            )
+            positions = (prefix_len
+                         + jnp.arange(Tb, dtype=jnp.int32)[None])
+            last = jnp.maximum(jnp.sum(suffix_seg, axis=1) - 1, 0)
+            if cfg.language_model_type == "llama":
+                logits, row = llama.forward(
+                    params["language_model"], cfg.text, suffix_tokens,
+                    positions=positions, segment_ids=suffix_seg, cache=row,
+                    attn_impl="xla", logits_positions=last,
+                )
+                last_logits = logits[:, 0]
+            else:
+                logits, row = mpt.forward(
+                    params["language_model"], cfg.mpt, suffix_tokens,
+                    positions=positions, segment_ids=suffix_seg, cache=row,
+                    attn_impl="xla",
+                )
+                last_logits = jnp.take_along_axis(
+                    logits, last[:, None, None], axis=1
+                )[:, 0]
+            cache = dataclasses.replace(
+                cache, kv=row.kv, kv_scale=row.kv_scale,
+                seg=jax.lax.dynamic_update_slice(
+                    cache.seg, row.seg, (slot, 0)
+                ),
+            )
+            return last_logits, cache
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def decode(params, cache, tokens, positions, active, keys,
@@ -553,9 +709,17 @@ class BatchedEngine:
             ret = jnp.concatenate([out, e[:, None]], axis=1)  # ONE fetch
             return ret, new_cur, hlen2, hist, prop2, budget - e, cache
 
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def set_token(tokens, tid, slot):
+            return jax.lax.dynamic_update_slice_in_dim(
+                tokens, tid[:, None], slot, axis=0
+            )
+
         self._prefill = prefill
         self._insert = insert
         self._insert_paged = insert_paged
+        self._prefill_suffix = prefill_suffix
+        self._set_token = set_token
         self._decode = decode
         self._decode_n = decode_n
         self._spec_prog = spec_step
@@ -626,8 +790,29 @@ class BatchedEngine:
                     reqs.append(self._queue.get_nowait())
                 except queue.Empty:
                     break
+            # Prefix-cache routing (paged only): a request whose prompt
+            # prefix is already pooled skips the full prefill — only host
+            # hashing happens here; its (short) suffix prefill runs on the
+            # engine loop, which owns the live pool cache.
+            keymap: Dict[int, List[bytes]] = {}
+            if self.paged and self._prefix is not None:
+                remaining = []
+                for r in reqs:
+                    try:
+                        route = self._route_prefix(r)
+                    except Exception as e:
+                        logger.error(f"prefix routing failed: {e}")
+                        route = []
+                    if isinstance(route, _PreparedSuffix):
+                        self._ready.put(route)
+                    else:
+                        keymap[id(r)] = route
+                        remaining.append(r)
+                reqs = remaining
+                if not reqs:
+                    continue
             try:
-                preps = self._prepare(reqs)
+                preps = self._prepare(reqs, keymap)
                 self.prefill_dispatches += 1
                 self.prefill_requests += len(reqs)
             except Exception as e:
@@ -653,7 +838,75 @@ class BatchedEngine:
         sizes.append(self.prefill_batch)
         return sizes
 
-    def _prepare(self, reqs: List[Request]) -> List[Optional["_Prepared"]]:
+    def _route_prefix(self, req: Request):
+        """Decide a request's admission path. Returns a
+        :class:`_PreparedSuffix` when a usable pooled prefix exists (its
+        hit pages are pinned), else the prompt's full-page chain hashes
+        for publication by the batch-prefill path.
+
+        A hit is usable when (a) at least one full page matched, (b) every
+        image's feature span lies inside the matched prefix (the suffix
+        prefill is text-only — it never runs the vision tower; that is the
+        point: a multi-turn follow-up skips the ViT entirely), and (c) at
+        least one prompt token remains to produce the first-token logits."""
+        from llava_plus_tpu.data.multimodal import plan_multimodal_batch
+        from llava_plus_tpu.mm_utils import tokenizer_image_token
+        from llava_plus_tpu.serve.prefix_cache import (
+            image_digest, page_keys,
+        )
+
+        ids = np.asarray(
+            tokenizer_image_token(req.prompt, self.tokenizer), np.int64
+        )
+        npatch = self.cfg.num_image_tokens
+        plan = plan_multimodal_batch(
+            [ids], num_patches=npatch, max_len=self.max_seq_len,
+        )
+        prompt_len = int(plan.lengths[0])
+        fused = np.asarray(plan.tokens[0][:prompt_len])
+        n_img = int(plan.num_images[0])
+        imgs = None if req.images is None else np.asarray(req.images)
+        if n_img and (imgs is None or imgs.shape[0] < n_img):
+            return []  # malformed; let the batch path raise/handle
+        spans = [
+            (int(plan.image_pos[0][j * npatch]), image_digest(imgs[j]))
+            for j in range(n_img)
+        ]
+        P = self.page_size
+        keys = page_keys(fused, spans, npatch, P, n_pages=prompt_len // P)
+
+        budget = min(req.max_new_tokens, self.max_seq_len - prompt_len - 1)
+        n_max = (prompt_len - 1) // P
+        n_lo = max((-(-(s + npatch) // P) for s, _ in spans), default=1)
+        if budget <= 0 or n_max < n_lo:
+            return keys
+        hit = self._match_prefix(keys[:n_max])
+        if len(hit) < n_lo:
+            if hit:
+                self._release_pages(hit)
+            return keys
+        prefix_len = len(hit) * P
+        total_pages = -(-(prompt_len + budget + 1) // P)
+        # same key derivation as _prepare so a request samples identically
+        # whichever admission path it takes
+        key, sub = jax.random.split(jax.random.PRNGKey(req.seed))
+        return _PreparedSuffix(
+            req=req,
+            hit_pages=hit,
+            prefix_len=prefix_len,
+            suffix_ids=fused[prefix_len:prompt_len].astype(np.int32),
+            prompt_len=prompt_len,
+            budget=budget,
+            key=key,
+            sub=sub,
+            history=[int(t) for t in fused],
+            needed_pages=max(total_pages - len(hit), 0),
+            page_keys=keys,
+        )
+
+    def _prepare(self, reqs: List[Request],
+                 keymap: Optional[Dict[int, List[bytes]]] = None,
+                 ) -> List[Optional["_Prepared"]]:
         from llava_plus_tpu.generate import prepare_multimodal_request
 
         n_real = len(reqs)
@@ -710,24 +963,8 @@ class BatchedEngine:
             if req.submit_ts:
                 self.ttfts.append(now - req.submit_ts)
 
-            out_ids: List[int] = []
-            finished = False
-            if tid == self.tokenizer.eos_token_id or budget <= 0:
-                finished = True
-            else:
-                out_ids.append(tid)
-                budget -= 1
-                text = self.tokenizer.decode(
-                    out_ids, skip_special_tokens=True
-                )
-                for stop_s in req.stop_strings:
-                    if stop_s and stop_s in text:
-                        text = text.split(stop_s)[0]
-                        finished = True
-                req._chunks.put(text)
+            out_ids, budget, finished = self._emit_first(req, tid, budget)
             if finished:
-                req._chunks.put(None)
-                req._done.set()
                 preps.append(None)  # never occupies a slot
                 continue
 
@@ -738,8 +975,32 @@ class BatchedEngine:
                 prompt_len=prompt_len, budget=budget, key=keys[i],
                 out_ids=out_ids, history=history,
                 needed_pages=needed_pages,
+                page_keys=(keymap or {}).get(id(req), []),
             ))
         return preps
+
+    def _emit_first(self, req: Request, tid: int, budget: int):
+        """First-token emission semantics shared by the full-prefill and
+        suffix-prefill paths (eos / budget / stop-string checks on the
+        first sampled token). Returns (out_ids, budget, finished); when
+        finished, the request was fully completed here."""
+        out_ids: List[int] = []
+        finished = False
+        if tid == self.tokenizer.eos_token_id or budget <= 0:
+            finished = True
+        else:
+            out_ids.append(tid)
+            budget -= 1
+            text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
+            for stop_s in req.stop_strings:
+                if stop_s and stop_s in text:
+                    text = text.split(stop_s)[0]
+                    finished = True
+            req._chunks.put(text)
+        if finished:
+            req._chunks.put(None)
+            req._done.set()
+        return out_ids, budget, finished
 
     def _admit(self) -> int:
         inserted = 0
@@ -766,13 +1027,13 @@ class BatchedEngine:
                 prep.req._done.set()
         return inserted
 
-    def _insert_prepared(self, slot_id: int, prep: "_Prepared"):
+    def _insert_prepared(self, slot_id: int, prep):
+        if isinstance(prep, _PreparedSuffix):
+            return self._insert_suffix(slot_id, prep)
         req = prep.req
         pages: List[int] = []
         if self.paged:
-            if len(self._free_pages) < prep.needed_pages:
-                raise _PoolExhausted(prep.needed_pages)
-            pages = [self._free_pages.pop() for _ in range(prep.needed_pages)]
+            pages = self._alloc_pages(prep.needed_pages)
             maxp = self.max_seq_len // self.page_size
             pages_vec = jnp.asarray((pages + [0] * maxp)[:maxp], jnp.int32)
             try:
@@ -782,8 +1043,9 @@ class BatchedEngine:
                     jnp.asarray([prep.first_id], jnp.int32), self.tokens,
                 )
             except Exception:
-                self._free_pages.extend(pages)
+                self._release_pages(pages)
                 raise
+            self._publish_prefix(prep.page_keys, pages)
         else:
             self.cache, self.tokens = self._insert(
                 self.cache, prep.cache1, jnp.int32(prep.row), slot_id,
@@ -799,6 +1061,64 @@ class BatchedEngine:
         slot.history = prep.history
         # the prefill already emitted this slot's first token; the next
         # decode column for it is that same token — do not emit it twice
+        slot.skip_next_emit = True
+
+    def _insert_suffix(self, slot_id: int, prep: "_PreparedSuffix"):
+        """Admit a prefix-cache hit: attach the shared prefix pages to the
+        slot, prefill ONLY the suffix over the pool, emit the first token
+        (TTFT for hits = suffix prefill, not the full prompt — and no
+        vision encode at all), and activate the slot for decode."""
+        req = prep.req
+        fresh = self._alloc_pages(prep.needed_pages)  # may raise _PoolExhausted
+        pages = prep.hit_pages + fresh
+        P = self.page_size
+        maxp = self.max_seq_len // P
+        pages_vec = jnp.asarray((pages + [0] * maxp)[:maxp], jnp.int32)
+        suffix_len = prep.prompt_len - prep.prefix_len
+        Tb = -(-suffix_len // self.prefill_bucket) * self.prefill_bucket
+        toks = np.zeros((1, Tb), np.int32)
+        toks[0, :suffix_len] = prep.suffix_ids
+        seg = np.zeros((1, Tb), np.int32)
+        seg[0, :suffix_len] = 1
+        try:
+            last_logits, self.cache = self._prefill_suffix(
+                self.params, self.cache, jnp.int32(slot_id), pages_vec,
+                jnp.int32(len(pages) * P), jnp.int32(prep.prefix_len),
+                jnp.asarray(toks), jnp.asarray(seg),
+            )
+            firsts = self._first_sample(
+                last_logits, prep.sub[None],
+                jnp.asarray([req.temperature], jnp.float32),
+                jnp.asarray([req.top_p], jnp.float32),
+            )
+            tid = int(np.asarray(jax.device_get(firsts))[0])
+        except Exception:
+            self._release_pages(pages)  # hit refs are ours too
+            raise
+        now = time.time()
+        req.first_token_ts = now
+        if req.submit_ts:
+            self.ttfts.append(now - req.submit_ts)
+        self.prefix_hit_tokens += prep.prefix_len
+
+        out_ids, budget, finished = self._emit_first(req, tid, prep.budget)
+        self._publish_prefix(prep.page_keys, pages)
+        if finished:
+            # pool rows for this slot were written but the slot stays
+            # free; the next occupant's insert rebuilds seg/page_table
+            self._release_pages(pages)
+            return
+        self.tokens = self._set_token(
+            self.tokens, jnp.asarray([tid], jnp.int32), jnp.int32(slot_id)
+        )
+        slot = self._slots[slot_id]
+        slot.request = req
+        slot.out_ids = out_ids
+        slot.pos = prep.prompt_len
+        slot.budget = budget
+        slot.key = prep.key
+        slot.pages = pages
+        slot.history = prep.history + [tid]
         slot.skip_next_emit = True
 
     def _emit_token(self, slot: _Slot, tid: int) -> bool:
@@ -829,7 +1149,7 @@ class BatchedEngine:
         slot.request._done.set()
         slot.request = None
         if slot.pages:
-            self._free_pages.extend(slot.pages)
+            self._release_pages(slot.pages)
             slot.pages = []
 
     def _emit_column(self, tokens_host):

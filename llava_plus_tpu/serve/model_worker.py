@@ -79,7 +79,7 @@ class JaxBackend:
                  paged: bool = False, max_seq_len: Optional[int] = None,
                  pool_tokens: Optional[int] = None,
                  rope_scaling: Optional[str] = None,
-                 speculate: int = 0):
+                 speculate: int = 0, prefix_cache: bool = True):
         from llava_plus_tpu.models.builder import load_pretrained_model
 
         (self.tokenizer, params, self.cfg, self.image_processor,
@@ -143,7 +143,7 @@ class JaxBackend:
                 max_slots=max_slots, max_seq_len=self.context_len,
                 decode_chunk=decode_chunk, cache_dtype=cache_dtype,
                 mesh=mesh, paged=paged, pool_tokens=pool_tokens,
-                speculate=speculate,
+                speculate=speculate, prefix_cache=prefix_cache,
             )
         self.generator = None if use_engine else Generator(
             params, self.cfg, self.tokenizer, self.image_processor,
@@ -335,6 +335,11 @@ class ModelWorker:
             m["engine_max_slots"] = engine.max_slots
             m["engine_prefill_dispatches"] = engine.prefill_dispatches
             m["engine_prefill_requests"] = engine.prefill_requests
+            if engine._prefix is not None:
+                m["engine_prefix_entries"] = len(engine._prefix)
+                m["engine_prefix_lookups"] = engine._prefix.lookups
+                m["engine_prefix_hits"] = engine._prefix.hit_requests
+                m["engine_prefix_hit_tokens"] = engine.prefix_hit_tokens
         return m
 
     # -- data plane ---------------------------------------------------------
@@ -476,6 +481,11 @@ def main():
     parser.add_argument("--paged", action="store_true",
                         help="paged KV pool: per-request page allocation; "
                              "enables long contexts + denser slot packing")
+    parser.add_argument("--no-prefix-cache", action="store_true",
+                        help="disable cross-request KV prefix reuse over "
+                             "the paged pool (on by default with --paged: "
+                             "multi-turn follow-ups skip recomputing — and "
+                             "re-vision-encoding — the shared history)")
     parser.add_argument("--max-seq-len", type=int, default=None,
                         help="override context length (paged pools make "
                              ">2048 practical)")
@@ -518,6 +528,7 @@ def main():
             tp=args.tp, paged=args.paged, max_seq_len=args.max_seq_len,
             pool_tokens=args.pool_tokens, rope_scaling=args.rope_scaling,
             speculate=args.speculate,
+            prefix_cache=not args.no_prefix_cache,
         )
         model_names = [name]
 

@@ -1,0 +1,107 @@
+"""On-chip prefix-reuse measurement: multi-turn TTFT with the page prefix
+cache on vs off (7B int8 weights + int8 KV paged pool, real engine).
+
+Scenario: a conversation whose history is ~`history_tokens` long (incl. the
+576-token image) asks a short follow-up (~`followup_tokens`). Without
+reuse, every turn re-prefills the whole history (incl. the vision encode);
+with reuse, only the follow-up suffix is computed.
+
+Usage: python tools/bench_prefix.py [--turns 6]
+"""
+
+import argparse
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+import jax.numpy as jnp
+
+HISTORY_TOKENS = 1536     # fused tokens of shared history (incl. image)
+FOLLOWUP_TOKENS = 64
+
+
+def measure(prefix_cache: bool, turns: int):
+    import jax
+
+    from llava_plus_tpu.data.debug_tokenizer import DebugTokenizer
+    from llava_plus_tpu.models import llava as llava_model
+    from llava_plus_tpu.models.configs import LLAVA_15_7B
+    from llava_plus_tpu.ops.quant import quantize_llava_params
+    from llava_plus_tpu.serve.engine import BatchedEngine, Request
+
+    cfg = LLAVA_15_7B
+    params = llava_model.init_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.bfloat16)
+    params = quantize_llava_params(params, bits=8)
+    tok = DebugTokenizer(vocab_size=cfg.text.vocab_size)
+    rng = np.random.default_rng(0)
+    s = cfg.vision.image_size
+    image = rng.normal(size=(1, s, s, 3)).astype(np.float32)
+
+    n_hist = HISTORY_TOKENS - cfg.num_image_tokens - 8
+    history = "<image>\n" + " ".join(f"w{i}" for i in range(n_hist))
+
+    eng = BatchedEngine(
+        params, cfg, tok, max_slots=4, max_seq_len=4096,
+        prefill_bucket=256, cache_dtype=jnp.int8,
+        paged=True, prefix_cache=prefix_cache,
+    )
+    try:
+        # Turn 1 (seeds the cache when reuse is on) + program warmup: run
+        # it twice so both the full-prefill and (reuse on) suffix-prefill
+        # programs are compiled before timing.
+        for _ in range(2):
+            r = Request(prompt=history, images=image, max_new_tokens=2)
+            eng.submit(r)
+            while r._chunks.get(timeout=900) is not None:
+                pass
+
+        ttfts = []
+        convo = history
+        for t in range(turns):
+            convo = convo + " " + " ".join(
+                f"q{t}t{i}" for i in range(FOLLOWUP_TOKENS)
+            )
+            r = Request(prompt=convo, images=image, max_new_tokens=4)
+            eng.submit(r)
+            first = r._chunks.get(timeout=900)
+            assert first is not None
+            ttfts.append(r.ttft)
+            while r._chunks.get(timeout=900) is not None:
+                pass
+            time.sleep(0.1)
+        hit_tokens = eng.prefix_hit_tokens
+        return ttfts, hit_tokens
+    finally:
+        eng.stop()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=6)
+    ap.add_argument("--mode", choices=["on", "off", "both"], default="both")
+    args = ap.parse_args()
+
+    # one engine per process would be safer on a 16 GB chip, but the int8
+    # model (6.6 GB) + one 4-slot pool fits twice sequentially: the first
+    # engine is stopped and its buffers dropped before the second builds
+    results = {}
+    for mode in (["on", "off"] if args.mode == "both" else [args.mode]):
+        ttfts, hits = measure(mode == "on", args.turns)
+        results[mode] = ttfts
+        print(f"prefix={mode}: per-turn TTFT "
+              f"{[round(t, 3) for t in ttfts]} "
+              f"p50={statistics.median(ttfts):.3f}s hit_tokens={hits}")
+    if len(results) == 2:
+        on = statistics.median(results["on"])
+        off = statistics.median(results["off"])
+        print(f"multi-turn TTFT p50: {on*1e3:.0f} ms with reuse vs "
+              f"{off*1e3:.0f} ms without ({off/on:.1f}x)")
+
+
+if __name__ == "__main__":
+    main()
