@@ -75,6 +75,11 @@ class TrainingArguments:
     save_steps: int = 500
     logging_steps: int = 1
     group_by_modality_length: bool = False
+    # pack several samples into each fixed [batch, model_max_length] row
+    # (segment-id isolated, positions restart per sample; ONE compiled
+    # step shape) — beats padding when samples are short vs max_length
+    pack_sequences: bool = False
+    pack_max_images: int = 2
     gradient_checkpointing: bool = True
     bf16: bool = True
     # 4/8 = QLoRA: quantize the frozen LM (blockwise int4 / per-channel int8)
@@ -282,22 +287,50 @@ def train(model_args: ModelArguments, data_args: DataArguments,
     step = start_step
     rng = np.random.default_rng(training_args.seed)
     t_last = time.time()
-    while step < total_steps:
-        order = list(iter(sampler)) if sampler is not None else list(
-            rng.permutation(len(dataset))
-        )
+
+    pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
+
+    def epoch_batches(order):
+        """Batch arrays for one epoch pass: padded per-sample rows, or
+        (``--pack-sequences``) fixed-shape rows packing a contiguous run
+        of the sampler order (segment-id isolated; see data/packing.py)."""
+        if training_args.pack_sequences:
+            from llava_plus_tpu.data.packing import pack_instances
+
+            i = 0
+            while i < len(order):
+                window = [dataset[j]
+                          for j in order[i:i + batch_size * 16]]
+                arrays, consumed = pack_instances(
+                    window, rows=batch_size,
+                    max_len=training_args.model_max_length,
+                    num_patches=cfg.num_image_tokens,
+                    image_size=cfg.vision.image_size,
+                    max_images_per_row=training_args.pack_max_images,
+                    pad_token_id=pad_id,
+                )
+                if consumed == 0:
+                    break
+                i += consumed
+                yield arrays
+            return
         for i in range(0, len(order) - batch_size + 1, batch_size):
-            if step >= total_steps:
-                break
-            idxs = order[i : i + batch_size]
-            instances = [dataset[j] for j in idxs]
-            arrays = collate_batch(
+            instances = [dataset[j] for j in order[i:i + batch_size]]
+            yield collate_batch(
                 instances,
                 num_patches=cfg.num_image_tokens,
                 max_len=training_args.model_max_length,
                 image_size=cfg.vision.image_size,
-                pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0,
+                pad_token_id=pad_id,
             )
+
+    while step < total_steps:
+        order = list(iter(sampler)) if sampler is not None else list(
+            rng.permutation(len(dataset))
+        )
+        for arrays in epoch_batches(order):
+            if step >= total_steps:
+                break
             batch = MultimodalBatch(**{
                 k: jax.numpy.asarray(v) for k, v in arrays.items()
             })

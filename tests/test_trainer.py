@@ -121,6 +121,20 @@ def test_lora_training(corpus, tmp_path):
     assert (out / "non_lora_trainables.bin").exists()
 
 
+def test_pack_sequences_training(corpus, tmp_path):
+    """--pack-sequences end-to-end: mixed image/text corpus packs into
+    fixed rows and trains to completion with checkpoints + HF export."""
+    model_args, data_args, training_args = _args(
+        corpus, tmp_path, pack_sequences=True, pack_max_images=2,
+    )
+    tok = SpLikeTokenizer()
+    tok.model_max_length = 96
+    train(model_args, data_args, training_args, tokenizer=tok)
+    out = tmp_path / "out"
+    assert list(out.glob("checkpoint-*")), "no checkpoints written"
+    assert (out / "hf_export" / "model.safetensors").exists()
+
+
 def test_group_by_modality_sampler(corpus, tmp_path):
     model_args, data_args, training_args = _args(
         corpus, tmp_path, group_by_modality_length=True,

@@ -1,0 +1,119 @@
+"""On-chip sequence-packing measurement: REAL (non-padding) tokens/sec of
+the train step on a short-sample corpus, padded one-per-row vs packed
+(`--pack-sequences`). Uses the 1.25B debug config like bench_train.py.
+
+Synthetic samples are ~`sample_tokens` long (incl. the image span) vs a
+`seq`-token row: padded rows waste (1 - sample/seq) of each step; packed
+rows fill with samples. Usage: python tools/bench_pack.py
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_instances(cfg, n, sample_tokens, rng):
+    from llava_plus_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+
+    s = cfg.vision.image_size
+    insts = []
+    for _ in range(n):
+        n_text = max(sample_tokens - cfg.num_image_tokens - 1, 4)
+        ids = np.concatenate(
+            [[1, IMAGE_TOKEN_INDEX],
+             rng.integers(3, 30000, size=n_text - 1)]
+        ).astype(np.int64)
+        labels = ids.copy()
+        labels[:2] = IGNORE_INDEX
+        insts.append({
+            "input_ids": ids, "labels": labels,
+            "images": rng.normal(size=(1, s, s, 3)).astype(np.float32),
+        })
+    return insts
+
+
+def run(packed: bool, args):
+    from llava_plus_tpu.models import llava as llava_model
+    from llava_plus_tpu.models.llava import MultimodalBatch
+    from llava_plus_tpu.data.dataset import collate_batch
+    from llava_plus_tpu.data.packing import pack_instances
+    from llava_plus_tpu.train.optimizer import (
+        OptimizerConfig, build_optimizer,
+    )
+    from llava_plus_tpu.train.step import init_opt_state, make_train_step
+    from bench_train import debug_09b_config
+
+    cfg = debug_09b_config()
+    params = llava_model.init_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.bfloat16)
+    opt = build_optimizer(params, OptimizerConfig(
+        learning_rate=2e-5, mm_projector_lr=2e-5, total_steps=1000,
+    ))
+    opt_state = init_opt_state(opt, params)
+    step = make_train_step(cfg, opt, attn_impl="auto", remat=True)
+
+    rng = np.random.default_rng(0)
+    kw = dict(num_patches=cfg.num_image_tokens, max_len=args.seq,
+              image_size=cfg.vision.image_size)
+
+    def next_batch():
+        if packed:
+            insts = make_instances(cfg, args.batch * 8, args.sample, rng)
+            arrays, consumed = pack_instances(
+                insts, rows=args.batch,
+                max_images_per_row=args.pack_max_images, **kw)
+        else:
+            insts = make_instances(cfg, args.batch, args.sample, rng)
+            arrays = collate_batch(insts, pad_to_multiple=args.seq, **kw)
+        real = int((np.asarray(arrays["labels"]) != -100).sum())
+        return MultimodalBatch(**{k: jnp.asarray(v)
+                                  for k, v in arrays.items()}), real
+
+    batch, _ = next_batch()
+    params, opt_state, m = step(params, opt_state, batch)  # compile
+    float(jax.device_get(m["loss"]))
+
+    total_real = 0
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        batch, real = next_batch()
+        total_real += real
+        params, opt_state, m = step(params, opt_state, batch)
+    loss = float(jax.device_get(m["loss"]))  # barrier
+    dt = time.perf_counter() - t0
+    print(f"{'packed' if packed else 'padded'}: "
+          f"{total_real / dt:,.0f} real tok/s "
+          f"({args.steps} steps, {dt:.2f}s, loss {loss:.3f})")
+    return total_real / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seq", type=int, default=1024)
+    p.add_argument("--sample", type=int, default=320,
+                   help="synthetic sample length incl. image tokens")
+    p.add_argument("--pack-max-images", type=int, default=3)
+    p.add_argument("--mode", choices=["padded", "packed", "both"],
+                   default="both")
+    args = p.parse_args()
+    res = {}
+    for mode in (["padded", "packed"] if args.mode == "both"
+                 else [args.mode]):
+        res[mode] = run(mode == "packed", args)
+    if len(res) == 2:
+        print(f"packing speedup on real tokens: "
+              f"{res['packed'] / res['padded']:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

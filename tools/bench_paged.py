@@ -44,6 +44,10 @@ def run_engine(paged: bool, max_seq_len: int, prompt_tokens: int,
         params, cfg, tok, max_slots=n_requests, max_seq_len=max_seq_len,
         prefill_bucket=256, cache_dtype=jnp.int8,
         paged=paged, pool_tokens=pool_tokens,
+        # identical prompts here: prefix reuse would skip later prefills
+        # and skew the dense-vs-paged decode comparison (bench_prefix.py
+        # measures reuse itself)
+        prefix_cache=False,
     )
     try:
         # warmup: compile prefill + decode programs outside the timing
