@@ -51,16 +51,24 @@ class EvalSession:
 
     def __init__(self, model_path, model_base=None, model_name=None,
                  conv_mode="llava_v1", temperature=0.0, top_p=1.0,
-                 max_new_tokens=128, backend=None):
+                 max_new_tokens=128, backend=None, engine_slots=0,
+                 engine=None):
+        """``engine_slots > 0`` answers through the continuous-batching
+        engine (serve/engine.py) instead of the single-stream generator:
+        ``answer_many`` then decodes up to that many questions per step.
+        Greedy engine output equals the single-stream generator
+        (tests/test_engine.py), so eval answers are unchanged — only
+        throughput. ``engine=`` is a test seam (prebuilt BatchedEngine)."""
         self.conv_mode = conv_mode
         self.temperature = temperature
         self.top_p = top_p
         self.max_new_tokens = max_new_tokens
-        if backend is not None:
-            # test seam: any object with .answer(prompt, image) -> str
-            self.backend = backend
+        self.backend = backend
+        self.engine = engine
+        self.generator = None
+        if backend is not None or engine is not None:
+            # test seams: backend has .answer(prompt, image) -> str
             return
-        from llava_plus_tpu.generate import Generator
         from llava_plus_tpu.mm_utils import get_model_name_from_path
         from llava_plus_tpu.models.builder import load_pretrained_model
 
@@ -70,24 +78,89 @@ class EvalSession:
         )
         self.cfg = cfg
         self.image_processor = image_processor
-        self.generator = Generator(
-            params, cfg, tokenizer, image_processor, max_seq_len=context_len
+        if engine_slots:
+            from llava_plus_tpu.serve.engine import BatchedEngine
+
+            self.engine = BatchedEngine(
+                params, cfg, tokenizer, max_slots=int(engine_slots),
+                max_seq_len=context_len,
+            )
+        else:
+            from llava_plus_tpu.generate import Generator
+
+            self.generator = Generator(
+                params, cfg, tokenizer, image_processor,
+                max_seq_len=context_len,
+            )
+
+    def _pixels(self, image):
+        if image is None:
+            return None
+        from llava_plus_tpu.mm_utils import process_images
+
+        return process_images([image], self.image_processor, self.cfg)
+
+    def _request(self, prompt, image, stop_strings):
+        from llava_plus_tpu.serve.engine import Request
+
+        return Request(
+            prompt=prompt, images=self._pixels(image),
+            max_new_tokens=self.max_new_tokens,
+            temperature=self.temperature, top_p=self.top_p,
+            stop_strings=list(stop_strings),
         )
-        self.backend = None
 
     def answer(self, prompt: str, image=None, stop_strings=()) -> str:
         if self.backend is not None:
             return self.backend.answer(prompt, image)
-        images = None
-        if image is not None:
-            from llava_plus_tpu.mm_utils import process_images
-
-            images = process_images([image], self.image_processor, self.cfg)
+        if self.engine is not None:
+            return self.engine.generate(
+                self._request(prompt, image, stop_strings)
+            ).strip()
         result = self.generator.generate(
-            prompt, images=images,
+            prompt, images=self._pixels(image),
             max_new_tokens=self.max_new_tokens,
             temperature=self.temperature,
             top_p=self.top_p,
             stop_strings=list(stop_strings),
         )
         return result.text.strip()
+
+    def answer_many(self, items, stop_strings=()):
+        """Yield answers for an iterable of ``(prompt, image)`` IN ORDER.
+
+        With an engine, requests are submitted ahead (window of
+        2x slots, bounding in-flight host pixel buffers) so the engine
+        decodes them concurrently; items are pulled from the iterable
+        lazily, just in time. Without one, falls back to serial
+        ``answer`` — same output either way (greedy equality)."""
+        if self.engine is None:
+            for prompt, image in items:
+                yield self.answer(prompt, image, stop_strings)
+            return
+        from collections import deque
+
+        it = iter(items)
+        window = 2 * self.engine.max_slots
+        pending = deque()
+
+        def submit_next():
+            try:
+                prompt, image = next(it)
+            except StopIteration:
+                return False
+            pending.append(self.engine.submit(
+                self._request(prompt, image, stop_strings)
+            ))
+            return True
+
+        while len(pending) < window and submit_next():
+            pass
+        while pending:
+            text = self.engine.drain(pending.popleft())
+            submit_next()
+            yield text.strip()
+
+    def close(self):
+        if self.engine is not None:
+            self.engine.stop()

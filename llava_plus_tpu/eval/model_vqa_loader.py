@@ -49,23 +49,25 @@ def eval_model(args, session: EvalSession = None):
         args.model_path, args.model_base,
         conv_mode=args.conv_mode, temperature=args.temperature,
         top_p=args.top_p, max_new_tokens=args.max_new_tokens,
+        engine_slots=getattr(args, "engine_slots", 0),
     )
     model_name = get_model_name_from_path(args.model_path)
 
     stop = conv_templates[args.conv_mode].sep2 or conv_templates[args.conv_mode].sep
-    with open(answers_file, "w") as f:
+
+    def items():
         for line in questions:
-            idx = line["question_id"]
-            image_file = line["image"]
-            qs = line["text"]
-            prompt = build_prompt(qs, args.conv_mode)
-            image = Image.open(
-                os.path.join(args.image_folder, image_file)
-            ).convert("RGB")
-            output = session.answer(prompt, image, stop_strings=[stop])
+            yield (build_prompt(line["text"], args.conv_mode),
+                   Image.open(os.path.join(args.image_folder,
+                                           line["image"])).convert("RGB"))
+
+    with open(answers_file, "w") as f:
+        for line, output in zip(
+            questions, session.answer_many(items(), stop_strings=[stop])
+        ):
             f.write(json.dumps({
-                "question_id": idx,
-                "prompt": qs,
+                "question_id": line["question_id"],
+                "prompt": line["text"],
                 "text": output,
                 "answer_id": short_uuid(),
                 "model_id": model_name,
@@ -87,6 +89,10 @@ def main():
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--top_p", type=float, default=1.0)
     parser.add_argument("--max-new-tokens", type=int, default=128)
+    parser.add_argument("--engine-slots", type=int, default=0,
+                        help="answer through the continuous-batching "
+                        "engine with this many concurrent slots (0 = "
+                        "single-stream; greedy answers are identical)")
     eval_model(parser.parse_args())
 
 

@@ -746,11 +746,23 @@ class BatchedEngine:
                 return
             yield item
 
-    def generate(self, request: Request) -> str:
+    def drain(self, request: Request) -> str:
+        """Block until an already-``submit``ted request finishes; final
+        text. Lets callers pipeline many requests (submit ahead, drain in
+        order) — the eval runners' batched mode (eval/common.py)."""
         text = ""
-        for text in self.stream(request):
-            pass
-        return text
+        while True:
+            try:
+                item = request._chunks.get(timeout=600)
+            except queue.Empty:
+                return text
+            if item is None:
+                return text
+            text = item
+
+    def generate(self, request: Request) -> str:
+        self.submit(request)
+        return self.drain(request)
 
     def stop(self):
         self._stop.set()

@@ -188,3 +188,53 @@ def test_gpt_review_visual_offline_stub(tmp_path, monkeypatch):
     )
     assert s.returncode == 0, s.stderr
     assert "all" in s.stdout
+
+
+def test_answer_many_engine_mode_matches_single_stream():
+    """EvalSession(engine=...): answers come back IN ORDER and equal the
+    single-stream generator's greedy output for every prompt."""
+    import jax
+    import jax.numpy as jnp
+
+    from llava_plus_tpu.eval.common import EvalSession
+    from llava_plus_tpu.generate import Generator
+    from llava_plus_tpu.models import llava as llava_model
+    from llava_plus_tpu.models.configs import tiny_llava_config
+    from llava_plus_tpu.serve.engine import BatchedEngine
+
+    from .test_generate import CharTokenizer
+
+    cfg = tiny_llava_config()
+    params = llava_model.init_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.float32
+    )
+    tok = CharTokenizer()
+    engine = BatchedEngine(
+        params, cfg, tok, max_slots=2, max_seq_len=96,
+        prefill_bucket=32, cache_dtype=jnp.float32,
+    )
+    gen = Generator(
+        params, cfg, tok, max_seq_len=96, prefill_bucket=32,
+        cache_dtype=jnp.float32, attn_impl="xla",
+    )
+    try:
+        session = EvalSession(None, engine=engine, max_new_tokens=5)
+        prompts = ["hello", "xyz", "abab", "qq", "zz"]  # > 2x slots window
+        refs = [gen.generate(p, max_new_tokens=5, temperature=0.0)
+                .text.strip() for p in prompts]
+        got = list(session.answer_many((p, None) for p in prompts))
+        assert got == refs
+    finally:
+        engine.stop()
+
+
+def test_answer_many_serial_fallback_order():
+    from llava_plus_tpu.eval.common import EvalSession
+
+    class FakeBackend:
+        def answer(self, prompt, image):
+            return f"ans:{prompt}"
+
+    session = EvalSession(None, backend=FakeBackend())
+    got = list(session.answer_many((f"p{i}", None) for i in range(4)))
+    assert got == [f"ans:p{i}" for i in range(4)]
