@@ -23,43 +23,52 @@ def eval_model(args, session=None):
     session = session or EvalSession(
         args.model_path, args.model_base, conv_mode=args.conv_mode,
         temperature=args.temperature, max_new_tokens=1024,
+        engine_slots=getattr(args, "engine_slots", 0),
     )
     model_name = get_model_name_from_path(args.model_path or "model")
     conv_t = conv_templates[args.conv_mode]
     stop = conv_t.sep2 or conv_t.sep
 
-    with open(answers_file, "w") as f:
+    def build(line):
+        """(prompt, image, cur_prompt) for one question record."""
+        question = line["conversations"][0]
+        qs = question["value"].replace("<image>", "").strip()
+        cur_prompt = qs
+
+        image = None
+        if "image" in line:
+            image = Image.open(
+                os.path.join(args.image_folder, line["image"])
+            ).convert("RGB")
+            qs = DEFAULT_IMAGE_TOKEN + "\n" + qs
+            cur_prompt = "<image>" + "\n" + cur_prompt
+
+        if args.single_pred_prompt:
+            tail = ("Answer with the option's letter from the given "
+                    "choices directly.")
+            qs = qs + "\n" + tail
+            cur_prompt = cur_prompt + "\n" + tail
+
+        conv = conv_t.copy()
+        conv.append_message(conv.roles[0], qs)
+        conv.append_message(conv.roles[1], None)
+        return conv.get_prompt(), image, cur_prompt
+
+    cur_prompts = {}
+
+    def items():
         for i, line in enumerate(questions):
-            idx = line["id"]
-            question = line["conversations"][0]
-            qs = question["value"].replace("<image>", "").strip()
-            cur_prompt = qs
+            prompt, image, cur_prompt = build(line)
+            cur_prompts[i] = cur_prompt
+            yield prompt, image
 
-            image = None
-            if "image" in line:
-                image = Image.open(
-                    os.path.join(args.image_folder, line["image"])
-                ).convert("RGB")
-                qs = DEFAULT_IMAGE_TOKEN + "\n" + qs
-                cur_prompt = "<image>" + "\n" + cur_prompt
-
-            if args.single_pred_prompt:
-                qs = qs + "\n" + ("Answer with the option's letter from the "
-                                  "given choices directly.")
-                cur_prompt = cur_prompt + "\n" + (
-                    "Answer with the option's letter from the given choices "
-                    "directly."
-                )
-
-            conv = conv_t.copy()
-            conv.append_message(conv.roles[0], qs)
-            conv.append_message(conv.roles[1], None)
-            prompt = conv.get_prompt()
-
-            outputs = session.answer(prompt, image, stop_strings=[stop])
+    with open(answers_file, "w") as f:
+        for i, (line, outputs) in enumerate(zip(
+            questions, session.answer_many(items(), stop_strings=[stop])
+        )):
             f.write(json.dumps({
-                "question_id": idx,
-                "prompt": cur_prompt,
+                "question_id": line["id"],
+                "prompt": cur_prompts.pop(i),
                 "text": outputs,
                 "answer_id": short_uuid(),
                 "model_id": model_name,
@@ -80,6 +89,10 @@ def main():
     parser.add_argument("--chunk-idx", type=int, default=0)
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--single-pred-prompt", action="store_true")
+    parser.add_argument("--engine-slots", type=int, default=0,
+                        help="answer through the continuous-batching "
+                        "engine with this many concurrent slots (0 = "
+                        "single-stream)")
     eval_model(parser.parse_args())
 
 

@@ -887,7 +887,11 @@ class BatchedEngine:
         P = self.page_size
         keys = page_keys(fused, spans, npatch, P, n_pages=prompt_len // P)
 
-        budget = min(req.max_new_tokens, self.max_seq_len - prompt_len - 1)
+        # same clamp as generate.py:266 — the engine must emit exactly as
+        # many tokens as the single-stream generator when context-clamped
+        # (the final token needs no further cache write; mid-chunk overrun
+        # writes are dropped by the alloc mask / drop-mode scatter)
+        budget = min(req.max_new_tokens, self.max_seq_len - prompt_len)
         n_max = (prompt_len - 1) // P
         n_lo = max((-(-(s + npatch) // P) for s, _ in spans), default=1)
         if budget <= 0 or n_max < n_lo:
@@ -963,7 +967,7 @@ class BatchedEngine:
         for i, req in enumerate(reqs):
             prompt_len = int(plan.lengths[i])
             budget = min(req.max_new_tokens,
-                         self.max_seq_len - prompt_len - 1)
+                         self.max_seq_len - prompt_len)  # = generate.py:266
             needed_pages = 0
             if self.paged:
                 P = self.page_size

@@ -302,3 +302,17 @@ def test_speculative_pause_resume_exact():
         eng.stop()
     assert got == ref
     assert eng.spec_pauses >= 1  # gating actually cycled
+
+
+def test_engine_budget_clamp_matches_generator(setup):
+    """Context-clamped budget: requesting more tokens than the window
+    holds must emit EXACTLY as many tokens as the single-stream generator
+    (regression: the engine clamped to max_seq_len - prompt_len - 1 and
+    dropped the final token of every window-filling stream)."""
+    engine, gen = setup
+    for prompt in ["hello", "ab"]:
+        ref = gen.generate(prompt, max_new_tokens=500, temperature=0.0).text
+        got = engine.generate(
+            Request(prompt=prompt, max_new_tokens=500, temperature=0.0)
+        )
+        assert got == ref, (prompt, len(got), len(ref))

@@ -238,3 +238,43 @@ def test_answer_many_serial_fallback_order():
     session = EvalSession(None, backend=FakeBackend())
     got = list(session.answer_many((f"p{i}", None) for i in range(4)))
     assert got == [f"ans:p{i}" for i in range(4)]
+
+
+def test_model_vqa_science_fake_backend(tmp_path):
+    """Science runner after the answer_many refactor: ordering, image /
+    no-image mixing, single-pred-prompt suffix, cur_prompt bookkeeping."""
+    from llava_plus_tpu.eval import model_vqa_science
+    from llava_plus_tpu.eval.common import EvalSession
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.new("RGB", (20, 20), (9, 9, 9)).save(img_dir / "s0.jpg")
+    questions = [
+        {"id": "q0", "image": "s0.jpg", "conversations": [
+            {"from": "human", "value": "<image>\nWhich color?"}]},
+        {"id": "q1", "conversations": [
+            {"from": "human", "value": "What is 2+2?"}]},
+    ]
+    qfile = tmp_path / "sqa.json"
+    qfile.write_text(json.dumps(questions))
+
+    class FakeBackend:
+        def answer(self, prompt, image):
+            assert "letter from the given choices" in prompt
+            return "A" if image is not None else "B"
+
+    args = types.SimpleNamespace(
+        model_path="m", model_base=None, image_folder=str(img_dir),
+        question_file=str(qfile),
+        answers_file=str(tmp_path / "sqa_ans.jsonl"),
+        conv_mode="llava_v1", num_chunks=1, chunk_idx=0,
+        temperature=0.0, single_pred_prompt=True,
+    )
+    model_vqa_science.eval_model(
+        args, session=EvalSession(None, backend=FakeBackend())
+    )
+    rows = [json.loads(l) for l in open(tmp_path / "sqa_ans.jsonl")]
+    assert [r["question_id"] for r in rows] == ["q0", "q1"]
+    assert [r["text"] for r in rows] == ["A", "B"]
+    assert rows[0]["prompt"].startswith("<image>\nWhich color?")
+    assert rows[1]["prompt"].startswith("What is 2+2?")
