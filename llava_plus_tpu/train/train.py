@@ -75,6 +75,9 @@ class TrainingArguments:
     save_steps: int = 500
     logging_steps: int = 1
     group_by_modality_length: bool = False
+    # batches prepared ahead on a producer thread so host work (PIL
+    # decode, collate/pack) overlaps the device step; 0 = inline
+    prefetch_batches: int = 2
     # pack several samples into each fixed [batch, model_max_length] row
     # (segment-id isolated, positions restart per sample; ONE compiled
     # step shape) — beats padding when samples are short vs max_length
@@ -324,11 +327,55 @@ def train(model_args: ModelArguments, data_args: DataArguments,
                 pad_token_id=pad_id,
             )
 
+    def batches(order):
+        """epoch_batches, optionally pulled ahead by a producer thread so
+        image decode + collate/pack overlap the device step (the jitted
+        step dispatches async; without prefetch the host serializes prep
+        behind each step's metrics fetch)."""
+        depth = training_args.prefetch_batches
+        if depth <= 0:
+            yield from epoch_batches(order)
+            return
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = threading.Event()
+        DONE = object()
+
+        def produce():
+            try:
+                for item in epoch_batches(order):
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put(DONE)
+            except BaseException as e:  # surface producer errors in-loop
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is DONE:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
     while step < total_steps:
         order = list(iter(sampler)) if sampler is not None else list(
             rng.permutation(len(dataset))
         )
-        for arrays in epoch_batches(order):
+        for arrays in batches(order):
             if step >= total_steps:
                 break
             batch = MultimodalBatch(**{
