@@ -33,6 +33,45 @@ def loss_fn(params, cfg: LlavaConfig, batch: MultimodalBatch, *,
     return cross_entropy_loss(logits, batch.labels)
 
 
+def grads_and_metrics(loss_of, params, batch, accum_steps: int = 1):
+    """``value_and_grad``, optionally accumulated over a leading
+    micro-batch axis (``--gradient_accumulation_steps``, ref
+    ``scripts/v1_5/*.sh``). ``loss_of(params, micro_batch)`` must return
+    ``(loss, metrics)``.
+
+    TPU shape: the K micro-batches arrive STACKED ([K, B, ...]) and a
+    ``lax.scan`` walks them inside the one compiled step — fixed shapes,
+    no per-micro host dispatch. Grads accumulate in f32 (K bf16 adds
+    would drift) and divide by K, mirroring HF Trainer's mean-of-micro
+    semantics; metric means are token-weighted so the logged loss equals
+    the unaccumulated large-batch loss."""
+    import jax.numpy as jnp
+
+    vg = jax.value_and_grad(loss_of, has_aux=True)
+    if accum_steps <= 1:
+        (_, metrics), grads = vg(params, batch)
+        return grads, dict(metrics)
+
+    def body(acc, micro):
+        (_, m), g = vg(params, micro)
+        acc = jax.tree.map(lambda a, b: a + b.astype(a.dtype), acc, g)
+        return acc, m
+
+    zeros = jax.tree.map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), params
+    )
+    acc, ms = jax.lax.scan(body, zeros, batch)
+    grads = jax.tree.map(
+        lambda g, p: (g / accum_steps).astype(p.dtype), acc, params
+    )
+    w = ms["tokens"] / jnp.maximum(ms["tokens"].sum(), 1)
+    metrics = {
+        k: (v.sum() if k == "tokens" else (v * w).sum())
+        for k, v in ms.items()
+    }
+    return grads, metrics
+
+
 def make_train_step(
     cfg: LlavaConfig,
     optimizer: optax.GradientTransformation,
@@ -40,6 +79,7 @@ def make_train_step(
     attn_impl: str = "auto",
     remat: bool = True,
     mesh: Optional[Mesh] = None,
+    accum_steps: int = 1,
 ):
     """Jitted (params, opt_state, batch) -> (params, opt_state, metrics).
 
@@ -48,7 +88,9 @@ def make_train_step(
     Passing ``mesh`` additionally pins activation shardings at the module
     seams (``parallel.mesh.constrain``) so GSPMD keeps one consistent layout
     through the jvp/transpose graphs instead of emitting involuntary
-    full-rematerialization reshards.
+    full-rematerialization reshards. ``accum_steps > 1`` expects the batch
+    stacked [K, B, ...] and accumulates grads before the one optimizer
+    update (see :func:`grads_and_metrics`).
     """
     from llava_plus_tpu.parallel.mesh import activate_mesh
 
@@ -56,12 +98,12 @@ def make_train_step(
         # activate_mesh binds at trace time: the constraint ops are baked
         # into the jaxpr here, not looked up at run time.
         with activate_mesh(mesh):
-            (loss, metrics), grads = jax.value_and_grad(
-                lambda p: loss_fn(
-                    p, cfg, batch, attn_impl=attn_impl, remat=remat
+            grads, metrics = grads_and_metrics(
+                lambda p, mb: loss_fn(
+                    p, cfg, mb, attn_impl=attn_impl, remat=remat
                 ),
-                has_aux=True,
-            )(params)
+                params, batch, accum_steps,
+            )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             metrics = dict(metrics, grad_norm=optax.global_norm(grads))
@@ -140,7 +182,13 @@ def init_opt_state(optimizer: optax.GradientTransformation, params):
     return jax.jit(optimizer.init)(params)
 
 
-def place_batch(batch: MultimodalBatch, mesh: Mesh) -> MultimodalBatch:
-    """Shard all batch arrays over the (dp, fsdp) data axes."""
-    data = NamedSharding(mesh, P(("dp", "fsdp")))
+def place_batch(batch: MultimodalBatch, mesh: Mesh,
+                accum_steps: int = 1) -> MultimodalBatch:
+    """Shard all batch arrays over the (dp, fsdp) data axes. With
+    gradient accumulation the arrays carry a leading [K] micro-batch
+    axis that every device walks together — only the batch axis (dim 1)
+    shards."""
+    spec = (P(None, ("dp", "fsdp")) if accum_steps > 1
+            else P(("dp", "fsdp")))
+    data = NamedSharding(mesh, spec)
     return jax.tree.map(lambda a: jax.device_put(a, data), batch)

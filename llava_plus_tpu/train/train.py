@@ -228,9 +228,10 @@ def train(model_args: ModelArguments, data_args: DataArguments,
     params = place_params(params, mesh, cfg)
     opt_state = init_opt_state(optimizer, params)
 
+    accum = max(int(training_args.gradient_accumulation_steps), 1)
     step_fn = make_train_step(
         cfg, optimizer, remat=training_args.gradient_checkpointing,
-        mesh=mesh,
+        mesh=mesh, accum_steps=accum,
     )
     if training_args.lora_enable:
         from llava_plus_tpu.train.lora import apply_lora
@@ -241,26 +242,28 @@ def train(model_args: ModelArguments, data_args: DataArguments,
         lora_opt_state = lora_opt.init(lora_params)
 
         def lora_step(lora_params, lora_opt_state, base_params, batch):
-            def loss(lp):
-                from llava_plus_tpu.train.step import loss_fn
+            from llava_plus_tpu.train.step import (
+                grads_and_metrics, loss_fn,
+            )
 
+            def loss(lp, mb):
                 merged = dict(
                     base_params,
                     language_model=apply_lora(
                         base_params["language_model"], lp, lora_cfg
                     ),
                 )
-                return loss_fn(merged, cfg, batch,
+                return loss_fn(merged, cfg, mb,
                                remat=training_args.gradient_checkpointing)
 
-            (l, metrics), grads = jax.value_and_grad(loss, has_aux=True)(lora_params)
+            grads, metrics = grads_and_metrics(
+                loss, lora_params, batch, accum
+            )
             updates, lora_opt_state = lora_opt.update(
                 grads, lora_opt_state, lora_params
             )
             lora_params = _optax.apply_updates(lora_params, updates)
-            import optax as __optax
-
-            metrics = dict(metrics, grad_norm=__optax.global_norm(grads))
+            metrics = dict(metrics, grad_norm=_optax.global_norm(grads))
             return lora_params, lora_opt_state, metrics
 
         lora_step = jax.jit(lora_step, donate_argnums=(0, 1))
@@ -327,14 +330,28 @@ def train(model_args: ModelArguments, data_args: DataArguments,
                 pad_token_id=pad_id,
             )
 
+    def grouped_batches(order):
+        """epoch_batches, stacked [accum, B, ...] when gradient
+        accumulation is on (one optimizer step per group; ragged epoch
+        tail dropped, as HF Trainer does)."""
+        if accum == 1:
+            yield from epoch_batches(order)
+            return
+        buf = []
+        for arrays in epoch_batches(order):
+            buf.append(arrays)
+            if len(buf) == accum:
+                yield {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+                buf = []
+
     def batches(order):
-        """epoch_batches, optionally pulled ahead by a producer thread so
-        image decode + collate/pack overlap the device step (the jitted
+        """grouped_batches, optionally pulled ahead by a producer thread
+        so image decode + collate/pack overlap the device step (the jitted
         step dispatches async; without prefetch the host serializes prep
         behind each step's metrics fetch)."""
         depth = training_args.prefetch_batches
         if depth <= 0:
-            yield from epoch_batches(order)
+            yield from grouped_batches(order)
             return
         import queue
         import threading
@@ -345,7 +362,7 @@ def train(model_args: ModelArguments, data_args: DataArguments,
 
         def produce():
             try:
-                for item in epoch_batches(order):
+                for item in grouped_batches(order):
                     while not stop.is_set():
                         try:
                             q.put(item, timeout=0.1)
@@ -381,7 +398,7 @@ def train(model_args: ModelArguments, data_args: DataArguments,
             batch = MultimodalBatch(**{
                 k: jax.numpy.asarray(v) for k, v in arrays.items()
             })
-            batch = place_batch(batch, mesh)
+            batch = place_batch(batch, mesh, accum_steps=accum)
             if training_args.lora_enable:
                 lora_params, lora_opt_state, metrics = lora_step(
                     lora_params, lora_opt_state, params, batch

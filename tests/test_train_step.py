@@ -141,3 +141,66 @@ def test_sharded_step_matches_single_device(setup, mesh_shape):
     flat_out = jax.tree.leaves(jax.device_get(p_out))
     for a, b in zip(flat_ref, flat_out):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+def test_gradient_accumulation_matches_combined_batch(setup):
+    """K-step accumulation over equal-token micro-batches produces the
+    same update as one step on the concatenated batch (HF semantics:
+    mean of per-micro grads; equal token counts make that identical to
+    the combined-batch grad)."""
+    cfg, params, _ = setup
+    # two micro-batches with IDENTICAL per-sample shapes -> equal tokens
+    b1 = _tiny_batch(cfg, batch_size=4, seed=1)
+    b2 = _tiny_batch(cfg, batch_size=4, seed=2)
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), b1, b2)
+    combined = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), b1, b2
+    )
+
+    opt = build_optimizer(params, OptimizerConfig(
+        learning_rate=1e-3, total_steps=10,
+    ))
+
+    step_acc = make_train_step(cfg, opt, remat=False, accum_steps=2)
+    step_one = make_train_step(cfg, opt, remat=False)
+
+    # the steps donate their param/opt buffers; give each its own copy
+    pa = jax.tree.map(jnp.array, params)
+    po = jax.tree.map(jnp.array, params)
+    p_acc, _, m_acc = step_acc(pa, init_opt_state(opt, pa), stacked)
+    p_one, _, m_one = step_one(po, init_opt_state(opt, po), combined)
+
+    np.testing.assert_allclose(
+        float(m_acc["loss"]), float(m_one["loss"]), rtol=1e-5
+    )
+    assert int(m_acc["tokens"]) == int(m_one["tokens"])
+    flat_a = jax.tree.leaves(p_acc)
+    flat_o = jax.tree.leaves(p_one)
+    for a, o in zip(flat_a, flat_o):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(o),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_gradient_accumulation_on_mesh(setup):
+    """Accumulated step under dp/fsdp sharding: leading micro axis stays
+    unsharded, batch axis shards, loss matches the single-device result."""
+    cfg, params, _ = setup
+    b1 = _tiny_batch(cfg, batch_size=4, seed=1)
+    b2 = _tiny_batch(cfg, batch_size=4, seed=2)
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), b1, b2)
+
+    opt = build_optimizer(params, OptimizerConfig(
+        learning_rate=1e-3, total_steps=10,
+    ))
+    ref_step = make_train_step(cfg, opt, remat=False, accum_steps=2)
+    pr = jax.tree.map(jnp.array, params)
+    _, _, m_ref = ref_step(pr, init_opt_state(opt, pr), stacked)
+
+    mesh = make_mesh(2, 2, 2)
+    p_sh = place_params(jax.tree.map(jnp.array, params), mesh, cfg)
+    o_sh = init_opt_state(opt, p_sh)
+    step = make_train_step(cfg, opt, remat=False, mesh=mesh, accum_steps=2)
+    _, _, m = step(p_sh, o_sh, place_batch(stacked, mesh, accum_steps=2))
+    np.testing.assert_allclose(
+        float(m["loss"]), float(m_ref["loss"]), rtol=1e-4
+    )

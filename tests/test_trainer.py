@@ -135,6 +135,22 @@ def test_pack_sequences_training(corpus, tmp_path):
     assert (out / "hf_export" / "model.safetensors").exists()
 
 
+def test_gradient_accumulation_training(corpus, tmp_path):
+    """--gradient_accumulation_steps end-to-end: one optimizer step per
+    K stacked micro-batches (regression: the flag existed but was
+    silently ignored)."""
+    model_args, data_args, training_args = _args(
+        corpus, tmp_path, gradient_accumulation_steps=2,
+    )
+    training_args = dataclasses.replace(
+        training_args, max_steps=2, per_device_train_batch_size=2,
+    )
+    tok = SpLikeTokenizer()
+    tok.model_max_length = 96
+    train(model_args, data_args, training_args, tokenizer=tok)
+    assert (tmp_path / "out" / "checkpoint-2").exists()
+
+
 def test_group_by_modality_sampler(corpus, tmp_path):
     model_args, data_args, training_args = _args(
         corpus, tmp_path, group_by_modality_length=True,
