@@ -458,13 +458,19 @@ def main():
     parser = argparse.ArgumentParser()
     for dc in (ModelArguments, DataArguments, TrainingArguments):
         for f in dataclasses.fields(dc):
-            arg = "--" + f.name.replace("_", "-")
+            # accept both --snake-case and the reference recipes'
+            # --snake_case (HfArgumentParser style) so shell scripts
+            # written against the reference run verbatim
+            names = ["--" + f.name.replace("_", "-")]
+            if "_" in f.name:
+                names.append("--" + f.name)
             ann = str(f.type)
             if f.type == bool or isinstance(f.default, bool):
-                parser.add_argument(arg, type=lambda x: x.lower() == "true",
+                parser.add_argument(*names,
+                                    type=lambda x: x.lower() == "true",
                                     default=f.default)
             elif f.default is not None:
-                parser.add_argument(arg, type=type(f.default),
+                parser.add_argument(*names, type=type(f.default),
                                     default=f.default)
             else:
                 # Optional[...] fields: recover the scalar type from the
@@ -474,7 +480,7 @@ def main():
                     typ = int
                 elif "float" in ann:
                     typ = float
-                parser.add_argument(arg, type=typ, default=None)
+                parser.add_argument(*names, type=typ, default=None)
     args = parser.parse_args()
 
     def pick(dc):
