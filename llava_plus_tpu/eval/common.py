@@ -52,7 +52,7 @@ class EvalSession:
     def __init__(self, model_path, model_base=None, model_name=None,
                  conv_mode="llava_v1", temperature=0.0, top_p=1.0,
                  max_new_tokens=128, backend=None, engine_slots=0,
-                 engine=None):
+                 engine=None, generator=None):
         """``engine_slots > 0`` answers through the continuous-batching
         engine (serve/engine.py) instead of the single-stream generator:
         ``answer_many`` then decodes up to that many questions per step.
@@ -65,8 +65,8 @@ class EvalSession:
         self.max_new_tokens = max_new_tokens
         self.backend = backend
         self.engine = engine
-        self.generator = None
-        if backend is not None or engine is not None:
+        self.generator = generator
+        if backend is not None or engine is not None or generator is not None:
             # test seams: backend has .answer(prompt, image) -> str
             return
         from llava_plus_tpu.mm_utils import get_model_name_from_path
