@@ -64,22 +64,24 @@ def eval_model(args, session=None):
     session = session or EvalSession(
         args.model_path, args.model_base, conv_mode=args.conv_mode,
         temperature=args.temperature, max_new_tokens=128,
+        engine_slots=getattr(args, "engine_slots", 0),
     )
     model_name = get_model_name_from_path(args.model_path or "model")
     conv_t = conv_templates[args.conv_mode]
     stop = conv_t.sep2 or conv_t.sep
 
-    with open(answers_file, "w") as f:
+    def work():
+        """(answer-row metadata, prompt, image) per circular round. The
+        rounds only rotate options deterministically — no round depends
+        on a previous answer — so all (question, round) pairs are
+        independent and batch through answer_many."""
         for row in questions:
             options = get_options(row, all_options)
             cur_option_char = all_options[: len(options)]
             num_rounds = len(options) if args.all_rounds else 1
-
             for round_idx in range(num_rounds):
-                idx = row["index"]
                 question = row["question"]
                 hint = row["hint"]
-                image = load_image_from_base64(row["image"])
                 if not is_none(hint):
                     question = hint + "\n" + question
                 for option_char, option in zip(all_options[: len(options)],
@@ -96,25 +98,39 @@ def eval_model(args, session=None):
                 conv = conv_t.copy()
                 conv.append_message(conv.roles[0], qs)
                 conv.append_message(conv.roles[1], None)
-                prompt = conv.get_prompt()
-
-                outputs = session.answer(prompt, image.convert("RGB"),
-                                         stop_strings=[stop])
-                f.write(json.dumps({
-                    "question_id": idx,
+                meta = {
+                    "question_id": row["index"],
                     "round_id": round_idx,
                     "prompt": question,
-                    "text": outputs,
-                    "options": options,
-                    "option_char": cur_option_char,
-                    "answer_id": short_uuid(),
-                    "model_id": model_name,
-                    "metadata": {},
-                }) + "\n")
-                f.flush()
+                    "options": list(options),
+                    "option_char": list(cur_option_char),
+                }
+                image = load_image_from_base64(row["image"]).convert("RGB")
+                yield meta, conv.get_prompt(), image
                 # rotate options for the next round
                 options = options[1:] + options[:1]
                 cur_option_char = cur_option_char[1:] + cur_option_char[:1]
+
+    metas = []
+
+    def items():
+        for meta, prompt, image in work():
+            metas.append(meta)
+            yield prompt, image
+
+    with open(answers_file, "w") as f:
+        for i, outputs in enumerate(
+            session.answer_many(items(), stop_strings=[stop])
+        ):
+            meta = metas[i]
+            f.write(json.dumps({
+                **meta,
+                "text": outputs,
+                "answer_id": short_uuid(),
+                "model_id": model_name,
+                "metadata": {},
+            }) + "\n")
+            f.flush()
 
 
 def main():
@@ -130,6 +146,10 @@ def main():
     parser.add_argument("--all-rounds", action="store_true")
     parser.add_argument("--single-pred-prompt", action="store_true")
     parser.add_argument("--lang", type=str, default="en")
+    parser.add_argument("--engine-slots", type=int, default=0,
+                        help="answer through the continuous-batching "
+                        "engine with this many concurrent slots (0 = "
+                        "single-stream)")
     eval_model(parser.parse_args())
 
 

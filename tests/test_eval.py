@@ -278,3 +278,55 @@ def test_model_vqa_science_fake_backend(tmp_path):
     assert [r["text"] for r in rows] == ["A", "B"]
     assert rows[0]["prompt"].startswith("<image>\nWhich color?")
     assert rows[1]["prompt"].startswith("What is 2+2?")
+
+
+def test_model_vqa_mmbench_all_rounds(tmp_path):
+    """MMBench runner: circular option rotation per round, TSV+base64
+    input, batched answer path keeps (question, round) output order."""
+    import base64
+    import io
+
+    import pandas as pd
+
+    from llava_plus_tpu.eval import model_vqa_mmbench
+    from llava_plus_tpu.eval.common import EvalSession
+
+    buf = io.BytesIO()
+    Image.new("RGB", (24, 24), (1, 2, 3)).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    rows = [
+        {"index": 7, "question": "Which animal?", "hint": "A pet.",
+         "image": b64, "A": "cat", "B": "dog", "C": "fox", "D": None},
+        {"index": 8, "question": "Which number?", "hint": float("nan"),
+         "image": b64, "A": "one", "B": "two", "C": None, "D": None},
+    ]
+    qfile = tmp_path / "mmb.tsv"
+    pd.DataFrame(rows).to_csv(qfile, sep="\t", index=False)
+
+    class FakeBackend:
+        def answer(self, prompt, image):
+            return "A"
+
+    args = types.SimpleNamespace(
+        model_path="m", model_base=None, question_file=str(qfile),
+        answers_file=str(tmp_path / "mmb_ans.jsonl"),
+        conv_mode="llava_v1", num_chunks=1, chunk_idx=0,
+        temperature=0.0, all_rounds=True, single_pred_prompt=True,
+        lang="en",
+    )
+    model_vqa_mmbench.eval_model(
+        args, session=EvalSession(None, backend=FakeBackend())
+    )
+    out = [json.loads(l) for l in open(tmp_path / "mmb_ans.jsonl")]
+    # 3 options -> 3 rounds for q7; 2 options -> 2 rounds for q8
+    assert [(r["question_id"], r["round_id"]) for r in out] == [
+        (7, 0), (7, 1), (7, 2), (8, 0), (8, 1),
+    ]
+    # option rotation: round 1 of q7 leads with "dog"
+    assert out[0]["options"] == ["cat", "dog", "fox"]
+    assert out[1]["options"] == ["dog", "fox", "cat"]
+    assert out[1]["option_char"] == ["B", "C", "A"]
+    # hint folded into the prompt (q7), skipped when NaN (q8)
+    assert out[0]["prompt"].startswith("A pet.\nWhich animal?")
+    assert out[3]["prompt"].startswith("Which number?")
+    assert all(r["text"] == "A" for r in out)
