@@ -14,21 +14,26 @@ def eval_model(args, session=None):
     )]
     session = session or EvalSession(
         args.model_path, conv_mode=args.conv_mode, max_new_tokens=1024,
+        engine_slots=getattr(args, "engine_slots", 0),
     )
     answers_file = os.path.expanduser(args.answers_file)
     os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
     conv_t = conv_templates[args.conv_mode]
     stop = conv_t.sep2 or conv_t.sep
-    with open(answers_file, "w") as f:
+
+    def items():
         for q in questions:
-            idx = q["question_id"]
-            text = q["text"]
             conv = conv_t.copy()
-            conv.append_message(conv.roles[0], text)
+            conv.append_message(conv.roles[0], q["text"])
             conv.append_message(conv.roles[1], None)
-            output = session.answer(conv.get_prompt(), stop_strings=[stop])
+            yield conv.get_prompt(), None
+
+    with open(answers_file, "w") as f:
+        for q, output in zip(
+            questions, session.answer_many(items(), stop_strings=[stop])
+        ):
             f.write(json.dumps({
-                "question_id": idx,
+                "question_id": q["question_id"],
                 "text": output,
                 "answer_id": short_uuid(),
                 "model_id": args.model_path or "model",
@@ -42,6 +47,10 @@ def main():
     parser.add_argument("--question-file", type=str, required=True)
     parser.add_argument("--answers-file", type=str, required=True)
     parser.add_argument("--conv-mode", type=str, default="v1")
+    parser.add_argument("--engine-slots", type=int, default=0,
+                        help="answer through the continuous-batching "
+                        "engine with this many concurrent slots (0 = "
+                        "single-stream)")
     eval_model(parser.parse_args())
 
 
