@@ -12,6 +12,7 @@ def eval_model(args, session=None):
     questions = [json.loads(line) for line in open(
         os.path.expanduser(args.question_file)
     )]
+    owned = session is None
     session = session or EvalSession(
         args.model_path, conv_mode=args.conv_mode, max_new_tokens=1024,
         engine_slots=getattr(args, "engine_slots", 0),
@@ -28,19 +29,23 @@ def eval_model(args, session=None):
             conv.append_message(conv.roles[1], None)
             yield conv.get_prompt(), None
 
-    with open(answers_file, "w") as f:
-        for q, output in zip(
-            questions, session.answer_many(items(), stop_strings=[stop])
-        ):
-            f.write(json.dumps({
-                "question_id": q["question_id"],
-                "text": output,
-                "answer_id": short_uuid(),
-                "model_id": args.model_path or "model",
-                "metadata": {},
-            }) + "\n")
+    try:
+        with open(answers_file, "w") as f:
+            for q, output in zip(
+                questions, session.answer_many(items(), stop_strings=[stop])
+            ):
+                f.write(json.dumps({
+                    "question_id": q["question_id"],
+                    "text": output,
+                    "answer_id": short_uuid(),
+                    "model_id": args.model_path or "model",
+                    "metadata": {},
+                }) + "\n")
 
 
+    finally:
+        if owned:
+            session.close()
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model-path", type=str, default=None)

@@ -45,6 +45,7 @@ def eval_model(args, session: EvalSession = None):
     answers_file = os.path.expanduser(args.answers_file)
     os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
 
+    owned = session is None
     session = session or EvalSession(
         args.model_path, args.model_base,
         conv_mode=args.conv_mode, temperature=args.temperature,
@@ -61,21 +62,25 @@ def eval_model(args, session: EvalSession = None):
                    Image.open(os.path.join(args.image_folder,
                                            line["image"])).convert("RGB"))
 
-    with open(answers_file, "w") as f:
-        for line, output in zip(
-            questions, session.answer_many(items(), stop_strings=[stop])
-        ):
-            f.write(json.dumps({
-                "question_id": line["question_id"],
-                "prompt": line["text"],
-                "text": output,
-                "answer_id": short_uuid(),
-                "model_id": model_name,
-                "metadata": {},
-            }) + "\n")
-            f.flush()
+    try:
+        with open(answers_file, "w") as f:
+            for line, output in zip(
+                questions, session.answer_many(items(), stop_strings=[stop])
+            ):
+                f.write(json.dumps({
+                    "question_id": line["question_id"],
+                    "prompt": line["text"],
+                    "text": output,
+                    "answer_id": short_uuid(),
+                    "model_id": model_name,
+                    "metadata": {},
+                }) + "\n")
+                f.flush()
 
 
+    finally:
+        if owned:
+            session.close()
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model-path", type=str, default=None)

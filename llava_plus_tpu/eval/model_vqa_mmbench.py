@@ -61,6 +61,7 @@ def eval_model(args, session=None):
     answers_file = os.path.expanduser(args.answers_file)
     os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
 
+    owned = session is None
     session = session or EvalSession(
         args.model_path, args.model_base, conv_mode=args.conv_mode,
         temperature=args.temperature, max_new_tokens=128,
@@ -118,21 +119,25 @@ def eval_model(args, session=None):
             metas.append(meta)
             yield prompt, image
 
-    with open(answers_file, "w") as f:
-        for i, outputs in enumerate(
-            session.answer_many(items(), stop_strings=[stop])
-        ):
-            meta = metas[i]
-            f.write(json.dumps({
-                **meta,
-                "text": outputs,
-                "answer_id": short_uuid(),
-                "model_id": model_name,
-                "metadata": {},
-            }) + "\n")
-            f.flush()
+    try:
+        with open(answers_file, "w") as f:
+            for i, outputs in enumerate(
+                session.answer_many(items(), stop_strings=[stop])
+            ):
+                meta = metas[i]
+                f.write(json.dumps({
+                    **meta,
+                    "text": outputs,
+                    "answer_id": short_uuid(),
+                    "model_id": model_name,
+                    "metadata": {},
+                }) + "\n")
+                f.flush()
 
 
+    finally:
+        if owned:
+            session.close()
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model-path", type=str, default=None)

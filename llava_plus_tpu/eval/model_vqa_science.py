@@ -20,6 +20,7 @@ def eval_model(args, session=None):
     answers_file = os.path.expanduser(args.answers_file)
     os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
 
+    owned = session is None
     session = session or EvalSession(
         args.model_path, args.model_base, conv_mode=args.conv_mode,
         temperature=args.temperature, max_new_tokens=1024,
@@ -62,21 +63,25 @@ def eval_model(args, session=None):
             cur_prompts[i] = cur_prompt
             yield prompt, image
 
-    with open(answers_file, "w") as f:
-        for i, (line, outputs) in enumerate(zip(
-            questions, session.answer_many(items(), stop_strings=[stop])
-        )):
-            f.write(json.dumps({
-                "question_id": line["id"],
-                "prompt": cur_prompts.pop(i),
-                "text": outputs,
-                "answer_id": short_uuid(),
-                "model_id": model_name,
-                "metadata": {},
-            }) + "\n")
-            f.flush()
+    try:
+        with open(answers_file, "w") as f:
+            for i, (line, outputs) in enumerate(zip(
+                questions, session.answer_many(items(), stop_strings=[stop])
+            )):
+                f.write(json.dumps({
+                    "question_id": line["id"],
+                    "prompt": cur_prompts.pop(i),
+                    "text": outputs,
+                    "answer_id": short_uuid(),
+                    "model_id": model_name,
+                    "metadata": {},
+                }) + "\n")
+                f.flush()
 
 
+    finally:
+        if owned:
+            session.close()
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model-path", type=str, default=None)
