@@ -104,6 +104,38 @@ def check_flash_alibi():
     return got, ref, truth, None
 
 
+def check_flash_packed():
+    """Multi-segment (packed-training) ids through fwd AND bwd — the
+    shape --pack-sequences trains with (data/packing.py)."""
+    from llava_plus_tpu.ops.attention import xla_attention
+    from llava_plus_tpu.ops.flash_attention import flash_attention
+
+    B, T, H, D = 2, 512, 4, 64
+    q = _rand((B, T, H, D), 9)
+    k = _rand((B, T, H, D), 10)
+    v = _rand((B, T, H, D), 11)
+    # three packed samples per row + trailing padding (segment id 0)
+    bounds = np.array([200, 360, 480])
+    seg_row = np.searchsorted(bounds, np.arange(T), side="right") + 1
+    seg_row[480:] = 0
+    seg = jnp.asarray(np.broadcast_to(seg_row, (B, T)).astype(np.int32))
+    kw = dict(causal=True, q_segment_ids=seg, kv_segment_ids=seg)
+    # cotangent masked at padding rows: XLA's fully-masked rows output
+    # mean(v) (uniform softmax) while the kernel zeroes them; real losses
+    # never read padding rows (see tests/test_flash_attention.py)
+    m = (seg != 0)[:, :, None, None].astype(jnp.float32)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum((fn(q, k, v, **kw) * m) ** 2)
+
+    gf = jax.grad(loss(flash_attention), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(xla_attention), argnums=(0, 1, 2))(q, k, v)
+    with jax.default_matmul_precision("float32"):
+        gt = jax.grad(loss(xla_attention), argnums=(0, 1, 2))(q, k, v)
+    errs = [(_err(a, t), _err(b, t)) for a, b, t in zip(gf, gr, gt)]
+    return max(errs, key=lambda p: p[0] / (p[1] + 1e-9))
+
+
 def check_flash_bwd():
     from llava_plus_tpu.ops.attention import xla_attention
     from llava_plus_tpu.ops.flash_attention import flash_attention
@@ -251,6 +283,7 @@ CHECKS = [
     ("flash_fwd", check_flash_fwd),
     ("flash_alibi", check_flash_alibi),
     ("flash_bwd", check_flash_bwd),
+    ("flash_packed", check_flash_packed),
     ("decode_dense_bf16", lambda: check_decode_dense(False)),
     ("decode_dense_int8", lambda: check_decode_dense(True)),
     ("paged_decode_bf16", lambda: check_paged_decode(False)),
