@@ -435,6 +435,10 @@ def main():
     # precision (int4 measures slower than int8 at these shapes: the Pallas
     # matvec kernel underutilizes the MXU), then model size.
     for model, batch, kv8, lttft in (
+        # batch 24: ~6.4 GB int8 KV @1024ctx + ~7 GB int8 weights fits the
+        # 16 GB chip; decode cost per column is mostly shared (weight
+        # stream + fixed dispatch), so more streams/column = more img+tok/s
+        ("llava-1.5-7b-int8", 24, True, True),
         ("llava-1.5-7b-int8", 16, True, True),
         ("llava-1.5-7b-int8", 8, True, True),
         ("llava-1.5-7b-int8", 8, False, False),
