@@ -2,10 +2,13 @@
 # LLaVA-Bench (in-the-wild) with GPT-4 pairwise review
 # (ref scripts/v1_5/eval/llavabench.sh).
 
+# >0: answer via the continuous-batching engine (see docs/Evaluation.md)
+ENGINE_SLOTS=${ENGINE_SLOTS:-0}
 CKPT="llava-v1.5-7b"
 B=./playground/data/eval/llava-bench-in-the-wild
 
 python -m llava_plus_tpu.eval.model_vqa \
+        --engine-slots $ENGINE_SLOTS \
     --model-path ./checkpoints/$CKPT \
     --question-file $B/questions.jsonl \
     --image-folder $B/images \

@@ -3,7 +3,10 @@
 
 SPLIT="mmbench_dev_20230712"
 
+# >0: answer via the continuous-batching engine (see docs/Evaluation.md)
+ENGINE_SLOTS=${ENGINE_SLOTS:-0}
 python -m llava_plus_tpu.eval.model_vqa_mmbench \
+        --engine-slots $ENGINE_SLOTS \
     --model-path ./checkpoints/llava-v1.5-7b \
     --question-file ./playground/data/eval/mmbench/$SPLIT.tsv \
     --answers-file ./playground/data/eval/mmbench/answers/$SPLIT/llava-v1.5-7b.jsonl \

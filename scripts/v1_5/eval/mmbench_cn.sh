@@ -1,10 +1,13 @@
 #!/bin/bash
 # MMBench-CN eval (ref scripts/v1_5/eval/mmbench_cn.sh).
 
+# >0: answer via the continuous-batching engine (see docs/Evaluation.md)
+ENGINE_SLOTS=${ENGINE_SLOTS:-0}
 CKPT="llava-v1.5-7b"
 SPLIT="mmbench_dev_cn_20231003"
 
 python -m llava_plus_tpu.eval.model_vqa_mmbench \
+        --engine-slots $ENGINE_SLOTS \
     --model-path ./checkpoints/$CKPT \
     --question-file ./playground/data/eval/mmbench_cn/$SPLIT.tsv \
     --answers-file ./playground/data/eval/mmbench_cn/answers/$SPLIT/$CKPT.jsonl \

@@ -1,9 +1,12 @@
 #!/bin/bash
 # MM-Vet eval (ref scripts/v1_5/eval/mmvet.sh).
 
+# >0: answer via the continuous-batching engine (see docs/Evaluation.md)
+ENGINE_SLOTS=${ENGINE_SLOTS:-0}
 CKPT="llava-v1.5-7b"
 
 python -m llava_plus_tpu.eval.model_vqa \
+        --engine-slots $ENGINE_SLOTS \
     --model-path ./checkpoints/$CKPT \
     --question-file ./playground/data/eval/mm-vet/llava-mm-vet.jsonl \
     --image-folder ./playground/data/eval/mm-vet/images \

@@ -1,7 +1,10 @@
 #!/bin/bash
 # POPE eval (ref scripts/v1_5/eval/pope.sh).
 
+# >0: answer via the continuous-batching engine (see docs/Evaluation.md)
+ENGINE_SLOTS=${ENGINE_SLOTS:-0}
 python -m llava_plus_tpu.eval.model_vqa_loader \
+        --engine-slots $ENGINE_SLOTS \
     --model-path ./checkpoints/llava-v1.5-7b \
     --question-file ./playground/data/eval/pope/llava_pope_test.jsonl \
     --image-folder ./playground/data/eval/pope/val2014 \

@@ -3,9 +3,12 @@
 
 CKPT="llava-v1.5-7b"
 CHUNKS=${CHUNKS:-1}
+# >0: answer via the continuous-batching engine (see docs/Evaluation.md)
+ENGINE_SLOTS=${ENGINE_SLOTS:-0}
 
 for IDX in $(seq 0 $((CHUNKS-1))); do
     python -m llava_plus_tpu.eval.model_vqa_loader \
+        --engine-slots $ENGINE_SLOTS \
         --model-path ./checkpoints/$CKPT \
         --question-file ./playground/data/eval/seed_bench/llava-seed-bench.jsonl \
         --image-folder ./playground/data/eval/seed_bench \

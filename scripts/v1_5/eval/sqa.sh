@@ -1,7 +1,10 @@
 #!/bin/bash
 # ScienceQA eval (ref scripts/v1_5/eval/sqa.sh).
 
+# >0: answer via the continuous-batching engine (see docs/Evaluation.md)
+ENGINE_SLOTS=${ENGINE_SLOTS:-0}
 python -m llava_plus_tpu.eval.model_vqa_science \
+        --engine-slots $ENGINE_SLOTS \
     --model-path ./checkpoints/llava-v1.5-7b \
     --question-file ./playground/data/eval/scienceqa/llava_test_CQM-A.json \
     --image-folder ./playground/data/eval/scienceqa/images/test \

@@ -1,7 +1,10 @@
 #!/bin/bash
 # TextVQA eval (ref scripts/v1_5/eval/textvqa.sh).
 
+# >0: answer via the continuous-batching engine (see docs/Evaluation.md)
+ENGINE_SLOTS=${ENGINE_SLOTS:-0}
 python -m llava_plus_tpu.eval.model_vqa_loader \
+        --engine-slots $ENGINE_SLOTS \
     --model-path ./checkpoints/llava-v1.5-7b \
     --question-file ./playground/data/eval/textvqa/llava_textvqa_val_v051_ocr.jsonl \
     --image-folder ./playground/data/eval/textvqa/train_images \

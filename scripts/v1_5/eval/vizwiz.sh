@@ -1,9 +1,12 @@
 #!/bin/bash
 # VizWiz eval (ref scripts/v1_5/eval/vizwiz.sh).
 
+# >0: answer via the continuous-batching engine (see docs/Evaluation.md)
+ENGINE_SLOTS=${ENGINE_SLOTS:-0}
 CKPT="llava-v1.5-7b"
 
 python -m llava_plus_tpu.eval.model_vqa_loader \
+        --engine-slots $ENGINE_SLOTS \
     --model-path ./checkpoints/$CKPT \
     --question-file ./playground/data/eval/vizwiz/llava_test.jsonl \
     --image-folder ./playground/data/eval/vizwiz/test \
