@@ -27,9 +27,10 @@ def make_instances(cfg, n, sample_tokens, rng):
     insts = []
     for _ in range(n):
         n_text = max(sample_tokens - cfg.num_image_tokens - 1, 4)
+        hi = min(30000, cfg.text.vocab_size - 1)
         ids = np.concatenate(
             [[1, IMAGE_TOKEN_INDEX],
-             rng.integers(3, 30000, size=n_text - 1)]
+             rng.integers(3, hi, size=n_text - 1)]
         ).astype(np.int64)
         labels = ids.copy()
         labels[:2] = IGNORE_INDEX
