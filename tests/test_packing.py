@@ -125,3 +125,59 @@ def test_packed_loss_equals_unpacked(with_images):
     loss_u, n_u = run(unpacked)
     assert n_p == n_u  # identical scored-token sets
     np.testing.assert_allclose(loss_p, loss_u, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_loss_equals_unpacked_mpt():
+    """Packing holds for the MPT backbone too: ALiBi bias is computed
+    from per-sample RESTARTING positions and segment ids isolate rows, so
+    the packed loss equals the padded one-per-row loss."""
+    from llava_plus_tpu.models.configs import (
+        ClipVisionConfig, LlavaConfig, MptConfig,
+    )
+
+    cfg = LlavaConfig(
+        language_model_type="mpt",
+        mpt=MptConfig(
+            vocab_size=512, d_model=64, n_layers=2, n_heads=4,
+            expansion_ratio=2, max_seq_len=256, alibi=True,
+        ),
+        vision=ClipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=28, patch_size=14,
+        ),
+        mm_hidden_size=32,
+        max_sequence_length=256,
+    )
+    params = llava_model.init_params(
+        cfg, jax.random.PRNGKey(1), dtype=jnp.float32
+    )
+    insts = [
+        _inst([1, IMAGE_TOKEN_INDEX, 40, 41, 42], image=True),
+        _inst([1, IMAGE_TOKEN_INDEX, 50, 51], image=True),
+    ]
+    for inst in insts:
+        inst["labels"][0] = IGNORE_INDEX
+
+    kw = dict(num_patches=cfg.num_image_tokens,
+              image_size=cfg.vision.image_size)
+    packed, consumed = pack_instances(
+        insts, rows=1, max_len=64, max_images_per_row=2, **kw,
+    )
+    assert consumed == 2
+    unpacked = collate_batch(
+        insts, max_len=64, pad_to_multiple=1, max_images=1, **kw,
+    )
+
+    def run(arrays):
+        batch = MultimodalBatch(
+            **{k: jnp.asarray(v) for k, v in arrays.items()}
+        )
+        loss, metrics = loss_fn(
+            params, cfg, batch, attn_impl="xla", remat=False
+        )
+        return float(loss), int(metrics["tokens"])
+
+    loss_p, n_p = run(packed)
+    loss_u, n_u = run(unpacked)
+    assert n_p == n_u
+    np.testing.assert_allclose(loss_p, loss_u, rtol=2e-5, atol=2e-5)
