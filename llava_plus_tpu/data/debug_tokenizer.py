@@ -57,7 +57,10 @@ class DebugTokenizer:
         return ids
 
     def __call__(self, text: str):
-        ids = [self.bos_token_id] + self._encode_words(text)
+        # bos_token_id = None models GPT-NeoX-style tokenizers (MPT):
+        # no BOS, which preprocess_mpt's round arithmetic relies on
+        ids = ([self.bos_token_id] if self.bos_token_id is not None
+               else []) + self._encode_words(text)
         return type("Enc", (), {"input_ids": ids})()
 
     def encode(self, text: str):

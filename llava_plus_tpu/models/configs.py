@@ -184,6 +184,23 @@ LLAVA_15_7B = LlavaConfig()
 LLAVA_15_13B = LlavaConfig(text=LLAMA_13B)
 
 
+def tiny_llava_mpt_config() -> "LlavaConfig":
+    """Tiny MPT-backbone llava for tests (ALiBi, MQA-free 4-head)."""
+    return LlavaConfig(
+        language_model_type="mpt",
+        mpt=MptConfig(
+            vocab_size=512, d_model=64, n_layers=2, n_heads=4,
+            expansion_ratio=2, max_seq_len=256, alibi=True,
+        ),
+        vision=ClipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=28, patch_size=14,
+        ),
+        mm_hidden_size=32,
+        max_sequence_length=256,
+    )
+
+
 def tiny_llava_config(
     vocab_size: int = 512,
     hidden_size: int = 64,

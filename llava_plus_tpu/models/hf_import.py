@@ -347,9 +347,7 @@ def llava_config_from_hf_dir(path) -> LlavaConfig:
             select_layer=d.get("mm_vision_select_layer", -2),
             select_feature=d.get("mm_vision_select_feature", "patch"),
         )
-    return LlavaConfig(
-        language_model_type="llama",
-        text=llama_config_from_hf(d),
+    common = dict(
         vision=vision,
         mm_projector_type=d.get("mm_projector_type", "linear"),
         mm_hidden_size=d.get("mm_hidden_size", 1024),
@@ -357,6 +355,21 @@ def llava_config_from_hf_dir(path) -> LlavaConfig:
         mm_use_im_start_end=d.get("mm_use_im_start_end", False),
         mm_use_im_patch_token=d.get("mm_use_im_patch_token", True),
         max_sequence_length=d.get("tokenizer_model_max_length", 2048),
+    )
+    # LLaVA-MPT full checkpoints: model_type "llava_mpt", MPT config keys
+    # at top level (ref llava/model/language_model/llava_mpt.py)
+    if d.get("model_type") == "llava_mpt" or (
+        "d_model" in d and "hidden_size" not in d
+    ):
+        return LlavaConfig(
+            language_model_type="mpt",
+            mpt=mpt_config_from_hf(d),
+            **common,
+        )
+    return LlavaConfig(
+        language_model_type="llama",
+        text=llama_config_from_hf(d),
+        **common,
     )
 
 
@@ -367,12 +380,20 @@ def llava_params_from_hf_dir(path, cfg: Optional[LlavaConfig] = None, dtype="bfl
     if cfg is None:
         cfg = llava_config_from_hf_dir(path)
     sd = load_state_dict_dir(path)
-    lm = llama_params_from_state_dict(sd, cfg.text, dtype=dtype)
+    if cfg.language_model_type == "mpt":
+        # LLaVA-MPT keeps tower + projector under transformer.* (the
+        # LlavaMPTModel subclasses MptModel — ref llava_mpt.py)
+        lm = mpt_params_from_state_dict(sd, cfg.mpt, dtype=dtype)
+        vt_prefix = "transformer.vision_tower.vision_tower.vision_model."
+        proj_prefix = "transformer.mm_projector."
+    else:
+        lm = llama_params_from_state_dict(sd, cfg.text, dtype=dtype)
+        vt_prefix = "model.vision_tower.vision_tower.vision_model."
+        proj_prefix = "model.mm_projector."
     vt = clip_params_from_state_dict(
-        sd, cfg.vision, dtype=dtype,
-        prefix="model.vision_tower.vision_tower.vision_model.",
+        sd, cfg.vision, dtype=dtype, prefix=vt_prefix,
     )
     proj = projector_params_from_state_dict(
-        sd, cfg.mm_projector_type, dtype=dtype, prefix="model.mm_projector.",
+        sd, cfg.mm_projector_type, dtype=dtype, prefix=proj_prefix,
     )
     return {"language_model": lm, "vision_tower": vt, "mm_projector": proj}, cfg

@@ -121,6 +121,35 @@ def llama_state_dict_from_params(lm, cfg) -> Dict[str, np.ndarray]:
     return sd
 
 
+def mpt_state_dict_from_params(lm, cfg) -> Dict[str, np.ndarray]:
+    """Inverse of hf_import.mpt_params_from_state_dict (reference
+    LLaVA-MPT keys: transformer.wte/blocks.N/norm_f, llava_mpt.py)."""
+    sd = {
+        "transformer.wte.weight": _t(lm["wte"]),
+        "transformer.norm_f.weight": _t(lm["norm_f"]),
+    }
+    if "wpe" in lm:
+        sd["transformer.wpe.weight"] = _t(lm["wpe"])
+    L = cfg.n_layers
+    layer_map = [
+        ("norm_1.weight", ("norm1",), False),
+        ("norm_2.weight", ("norm2",), False),
+        ("attn.Wqkv.weight", ("attn", "wqkv"), True),
+        ("attn.out_proj.weight", ("attn", "out_proj"), True),
+        ("ffn.up_proj.weight", ("mlp", "up_proj"), True),
+        ("ffn.down_proj.weight", ("mlp", "down_proj"), True),
+    ]
+    for hf_name, path, transpose in layer_map:
+        node = lm["layers"]
+        for p in path:
+            node = node[p]
+        arr = _t(node)
+        for i in range(L):
+            m = arr[i].T if transpose else arr[i]
+            sd[f"transformer.blocks.{i}.{hf_name}"] = np.ascontiguousarray(m)
+    return sd
+
+
 def clip_state_dict_from_params(vt, cfg,
                                 prefix="model.vision_tower.vision_tower.vision_model.") -> Dict[str, np.ndarray]:
     D = cfg.hidden_size
@@ -180,31 +209,75 @@ def export_hf_llava(params, cfg: LlavaConfig, out_dir, tokenizer=None) -> Path:
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    is_mpt = cfg.language_model_type == "mpt"
     sd: Dict[str, np.ndarray] = {}
-    sd.update(llama_state_dict_from_params(params["language_model"], cfg.text))
+    if is_mpt:
+        # reference LLaVA-MPT layout: everything under transformer.*
+        # (llava_mpt.py: LlavaMPTModel(MptModel) owns tower + projector)
+        sd.update(mpt_state_dict_from_params(params["language_model"],
+                                             cfg.mpt))
+        vt_prefix = "transformer.vision_tower.vision_tower.vision_model."
+        proj_prefix = "transformer.mm_projector."
+    else:
+        sd.update(llama_state_dict_from_params(params["language_model"],
+                                               cfg.text))
+        vt_prefix = "model.vision_tower.vision_tower.vision_model."
+        proj_prefix = "model.mm_projector."
     if params.get("vision_tower"):
-        sd.update(clip_state_dict_from_params(params["vision_tower"], cfg.vision))
+        sd.update(clip_state_dict_from_params(params["vision_tower"],
+                                              cfg.vision, prefix=vt_prefix))
     if params.get("mm_projector"):
-        sd.update(projector_state_dict_from_params(params["mm_projector"]))
+        sd.update(projector_state_dict_from_params(params["mm_projector"],
+                                                   prefix=proj_prefix))
     sd = {k: np.asarray(v) for k, v in sd.items()}
     save_file(sd, str(out_dir / "model.safetensors"))
 
-    hf_cfg = {
-        "architectures": ["LlavaLlamaForCausalLM"],
-        "model_type": "llava",
-        "vocab_size": cfg.text.vocab_size,
-        "hidden_size": cfg.text.hidden_size,
-        "intermediate_size": cfg.text.intermediate_size,
-        "num_hidden_layers": cfg.text.num_hidden_layers,
-        "num_attention_heads": cfg.text.num_attention_heads,
-        "num_key_value_heads": cfg.text.num_key_value_heads,
-        "max_position_embeddings": cfg.text.max_position_embeddings,
-        "rms_norm_eps": cfg.text.rms_norm_eps,
-        "rope_theta": cfg.text.rope_theta,
-        **({"rope_scaling": {"type": cfg.text.rope_scaling_type,
-                             "factor": cfg.text.rope_scaling_factor}}
-           if cfg.text.rope_scaling_type else {}),
-        "tie_word_embeddings": cfg.text.tie_word_embeddings,
+    if is_mpt:
+        m = cfg.mpt
+        hf_cfg = {
+            "architectures": ["LlavaMPTForCausalLM"],
+            "model_type": "llava_mpt",
+            "vocab_size": m.vocab_size,
+            "d_model": m.d_model,
+            "n_layers": m.n_layers,
+            "n_heads": m.n_heads,
+            "expansion_ratio": m.expansion_ratio,
+            "max_seq_len": m.max_seq_len,
+            "attn_config": {
+                "alibi": m.alibi,
+                "alibi_bias_max": m.alibi_bias_max,
+                "attn_type": ("multiquery_attention" if m.multiquery
+                              else "multihead_attention"),
+                "prefix_lm": m.prefix_lm,
+                "attn_uses_sequence_id": m.attn_uses_sequence_id,
+                "clip_qkv": m.clip_qkv,
+                "qk_ln": m.qk_ln,
+                "softmax_scale": m.softmax_scale,
+            },
+            "no_bias": m.no_bias,
+            "learned_pos_emb": m.learned_pos_emb,
+            "layer_norm_epsilon": m.layer_norm_eps,
+            "logit_scale": m.logit_scale,
+        }
+    else:
+        hf_cfg = {
+            "architectures": ["LlavaLlamaForCausalLM"],
+            "model_type": "llava",
+            "vocab_size": cfg.text.vocab_size,
+            "hidden_size": cfg.text.hidden_size,
+            "intermediate_size": cfg.text.intermediate_size,
+            "num_hidden_layers": cfg.text.num_hidden_layers,
+            "num_attention_heads": cfg.text.num_attention_heads,
+            "num_key_value_heads": cfg.text.num_key_value_heads,
+            "max_position_embeddings": cfg.text.max_position_embeddings,
+            "rms_norm_eps": cfg.text.rms_norm_eps,
+            "rope_theta": cfg.text.rope_theta,
+            **({"rope_scaling": {"type": cfg.text.rope_scaling_type,
+                                 "factor": cfg.text.rope_scaling_factor}}
+               if cfg.text.rope_scaling_type else {}),
+            "tie_word_embeddings": cfg.text.tie_word_embeddings,
+        }
+    hf_cfg.update({
         "mm_vision_tower": "openai/clip-vit-large-patch14-336"
             if cfg.vision.image_size == 336 else "openai/clip-vit-large-patch14",
         "mm_projector_type": cfg.mm_projector_type,
@@ -218,7 +291,7 @@ def export_hf_llava(params, cfg: LlavaConfig, out_dir, tokenizer=None) -> Path:
         "torch_dtype": "bfloat16",
         # actual vision-tower dims so import never guesses from the name
         "mm_vision_config": dataclasses.asdict(cfg.vision),
-    }
+    })
     (out_dir / "config.json").write_text(json.dumps(hf_cfg, indent=2))
     if tokenizer is not None and hasattr(tokenizer, "save_pretrained"):
         tokenizer.save_pretrained(str(out_dir))

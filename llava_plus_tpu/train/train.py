@@ -49,6 +49,7 @@ class ModelArguments:
     mm_use_im_start_end: bool = False
     mm_use_im_patch_token: bool = False
     tiny_debug_model: bool = False  # tests/CI: random tiny model
+    tiny_debug_arch: str = "llama"  # "llama" | "mpt" backbone for it
 
 
 @dataclasses.dataclass
@@ -108,14 +109,24 @@ def build_model(model_args: ModelArguments, dtype):
     from llava_plus_tpu.models import llava as llava_model
 
     if model_args.tiny_debug_model or model_args.model_name_or_path is None:
-        cfg = tiny_llava_config()
+        if model_args.tiny_debug_arch == "mpt":
+            from llava_plus_tpu.models.configs import tiny_llava_mpt_config
+
+            cfg = tiny_llava_mpt_config()
+            vocab = cfg.mpt.vocab_size
+        else:
+            cfg = tiny_llava_config()
+            vocab = cfg.text.vocab_size
         params = llava_model.init_params(
             cfg, jax.random.PRNGKey(0),
             jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
         )
         from llava_plus_tpu.data.debug_tokenizer import DebugTokenizer
 
-        return params, cfg, DebugTokenizer(vocab_size=cfg.text.vocab_size)
+        tok = DebugTokenizer(vocab_size=vocab)
+        if model_args.tiny_debug_arch == "mpt":
+            tok.bos_token_id = None  # MPT tokenizers carry no BOS
+        return params, cfg, tok
 
     from llava_plus_tpu.models.builder import load_pretrained_model
 

@@ -158,3 +158,28 @@ def test_group_by_modality_sampler(corpus, tmp_path):
     tok = SpLikeTokenizer()
     tok.model_max_length = 96
     train(model_args, data_args, training_args, tokenizer=tok)
+
+
+def test_mpt_backbone_training(corpus, tmp_path):
+    """LLaVA-MPT trains end-to-end (ref trains MPT-backbone llava via
+    --version mpt): preprocess_mpt labels -> ALiBi forward/backward ->
+    checkpoints."""
+    model_args, data_args, training_args = _args(corpus, tmp_path)
+    model_args = dataclasses.replace(
+        model_args, tiny_debug_arch="mpt", version="mpt",
+    )
+    tok = SpLikeTokenizer()
+    tok.model_max_length = 96
+    tok.bos_token_id = None  # MPT's GPT-NeoX-style tokenizer has no BOS
+    train(model_args, data_args, training_args, tokenizer=tok)
+    out = tmp_path / "out"
+    assert list(out.glob("checkpoint-*"))
+    # the final HF export round-trips through our own importer
+    from llava_plus_tpu.models.hf_import import (
+        llava_config_from_hf_dir, llava_params_from_hf_dir,
+    )
+
+    cfg2 = llava_config_from_hf_dir(out / "hf_export")
+    assert cfg2.language_model_type == "mpt"
+    params2, _ = llava_params_from_hf_dir(out / "hf_export", dtype="float32")
+    assert "wte" in params2["language_model"]
