@@ -105,23 +105,9 @@ def test_paged_multimodal(engines):
 
 
 def _tiny_mpt_llava():
-    from llava_plus_tpu.models.configs import (
-        ClipVisionConfig, LlavaConfig, MptConfig,
-    )
+    from llava_plus_tpu.models.configs import tiny_llava_mpt_config
 
-    return LlavaConfig(
-        language_model_type="mpt",
-        mpt=MptConfig(
-            vocab_size=512, d_model=64, n_layers=2, n_heads=4,
-            expansion_ratio=2, max_seq_len=256, alibi=True,
-        ),
-        vision=ClipVisionConfig(
-            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
-            num_attention_heads=2, image_size=28, patch_size=14,
-        ),
-        mm_hidden_size=32,
-        max_sequence_length=256,
-    )
+    return tiny_llava_mpt_config()
 
 
 def test_mpt_paged_matches_dense():

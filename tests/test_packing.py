@@ -131,23 +131,9 @@ def test_packed_loss_equals_unpacked_mpt():
     """Packing holds for the MPT backbone too: ALiBi bias is computed
     from per-sample RESTARTING positions and segment ids isolate rows, so
     the packed loss equals the padded one-per-row loss."""
-    from llava_plus_tpu.models.configs import (
-        ClipVisionConfig, LlavaConfig, MptConfig,
-    )
+    from llava_plus_tpu.models.configs import tiny_llava_mpt_config
 
-    cfg = LlavaConfig(
-        language_model_type="mpt",
-        mpt=MptConfig(
-            vocab_size=512, d_model=64, n_layers=2, n_heads=4,
-            expansion_ratio=2, max_seq_len=256, alibi=True,
-        ),
-        vision=ClipVisionConfig(
-            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
-            num_attention_heads=2, image_size=28, patch_size=14,
-        ),
-        mm_hidden_size=32,
-        max_sequence_length=256,
-    )
+    cfg = tiny_llava_mpt_config()
     params = llava_model.init_params(
         cfg, jax.random.PRNGKey(1), dtype=jnp.float32
     )
