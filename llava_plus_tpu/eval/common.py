@@ -52,7 +52,7 @@ class EvalSession:
     def __init__(self, model_path, model_base=None, model_name=None,
                  conv_mode="llava_v1", temperature=0.0, top_p=1.0,
                  max_new_tokens=128, backend=None, engine_slots=0,
-                 engine=None, generator=None):
+                 engine=None, generator=None, num_beams=1):
         """``engine_slots > 0`` answers through the continuous-batching
         engine (serve/engine.py) instead of the single-stream generator:
         ``answer_many`` then decodes up to that many questions per step.
@@ -63,6 +63,11 @@ class EvalSession:
         self.temperature = temperature
         self.top_p = top_p
         self.max_new_tokens = max_new_tokens
+        self.num_beams = int(num_beams or 1)
+        if self.num_beams > 1 and engine_slots:
+            raise ValueError("--engine-slots requires --num_beams 1 "
+                             "(beam search runs on the single-stream "
+                             "generator)")
         self.backend = backend
         self.engine = engine
         self.generator = generator
@@ -117,6 +122,14 @@ class EvalSession:
             return self.engine.generate(
                 self._request(prompt, image, stop_strings)
             ).strip()
+        if self.num_beams > 1:
+            result = self.generator.beam_search(
+                prompt, images=self._pixels(image),
+                num_beams=self.num_beams,
+                max_new_tokens=self.max_new_tokens,
+                stop_strings=list(stop_strings),
+            )
+            return result.text.strip()
         result = self.generator.generate(
             prompt, images=self._pixels(image),
             max_new_tokens=self.max_new_tokens,

@@ -50,6 +50,7 @@ def eval_model(args, session: EvalSession = None):
         args.model_path, args.model_base,
         conv_mode=args.conv_mode, temperature=args.temperature,
         top_p=args.top_p, max_new_tokens=args.max_new_tokens,
+        num_beams=getattr(args, "num_beams", 1),
         engine_slots=getattr(args, "engine_slots", 0),
     )
     model_name = get_model_name_from_path(args.model_path)
@@ -92,6 +93,8 @@ def main():
     parser.add_argument("--num-chunks", type=int, default=1)
     parser.add_argument("--chunk-idx", type=int, default=0)
     parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--num-beams", "--num_beams", type=int, default=1,
+                        dest="num_beams")
     parser.add_argument("--top_p", type=float, default=1.0)
     parser.add_argument("--max-new-tokens", type=int, default=128)
     parser.add_argument("--engine-slots", type=int, default=0,

@@ -24,6 +24,7 @@ def eval_model(args, session=None):
     session = session or EvalSession(
         args.model_path, args.model_base, conv_mode=args.conv_mode,
         temperature=args.temperature, max_new_tokens=1024,
+        num_beams=getattr(args, "num_beams", 1),
         engine_slots=getattr(args, "engine_slots", 0),
     )
     model_name = get_model_name_from_path(args.model_path or "model")
@@ -93,6 +94,8 @@ def main():
     parser.add_argument("--num-chunks", type=int, default=1)
     parser.add_argument("--chunk-idx", type=int, default=0)
     parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--num-beams", "--num_beams", type=int, default=1,
+                        dest="num_beams")
     parser.add_argument("--single-pred-prompt", action="store_true")
     parser.add_argument("--engine-slots", type=int, default=0,
                         help="answer through the continuous-batching "

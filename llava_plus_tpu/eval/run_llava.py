@@ -73,6 +73,7 @@ def eval_model(args, session=None):
         args.model_path, args.model_base, conv_mode=conv_mode,
         temperature=args.temperature, top_p=args.top_p,
         max_new_tokens=args.max_new_tokens,
+        num_beams=getattr(args, "num_beams", 1),
     )
     stop = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
     outputs = session.answer(prompt, images[0] if images else None,
@@ -92,5 +93,7 @@ if __name__ == "__main__":
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--top_p", type=float, default=None)
     parser.add_argument("--max_new_tokens", type=int, default=512)
+    parser.add_argument("--num-beams", "--num_beams", type=int, default=1,
+                        dest="num_beams")
     parser.add_argument("--mm-use-im-start-end", action="store_true")
     eval_model(parser.parse_args())

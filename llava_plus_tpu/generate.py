@@ -331,6 +331,139 @@ class Generator:
                 )
             pos += k
 
+    def beam_search(
+        self,
+        prompt: str,
+        images: Optional[np.ndarray] = None,
+        *,
+        num_beams: int,
+        max_new_tokens: int = 128,
+        length_penalty: float = 1.0,
+        stop_strings: Sequence[str] = (),
+    ) -> GenerationResult:
+        """Vanilla fixed-width beam search (the reference eval CLIs'
+        ``--num_beams``; HF ``generate(num_beams=N)`` with default
+        length_penalty covers every published config — all MODEL_ZOO
+        evals use 1). Deviations from HF's implementation, documented in
+        PARITY.md: top-``nb`` selection (not HF's 2*nb candidate pool),
+        finished beams are frozen in place, stop-strings truncate at
+        finalization.
+
+        TPU shape: the nb beams ARE the batch — one prefill of nb
+        identical rows, then per step ONE jitted decode of [nb, 1]
+        tokens, a top-k expand/select, and a cache row-gather by parent
+        beam (k/v are [L, B, S, H, D]; the gather is a batch-axis take
+        XLA fuses with the step).
+        """
+        nb = int(num_beams)
+        if nb <= 1:
+            return self.generate(prompt, images,
+                                 max_new_tokens=max_new_tokens,
+                                 temperature=0.0,
+                                 stop_strings=stop_strings)
+        imgs = None if images is None else [images] * 1
+        batch, plan = self.prepare_batch([prompt] * nb, imgs * nb if imgs else None)
+        prompt_len = int(plan.lengths[0])
+        budget = min(max_new_tokens, self.max_seq_len - prompt_len)
+        eos = self.tokenizer.eos_token_id
+
+        cache = self._make_cache(nb)
+        last_logits, cache = self._prefill(self.params, cache, batch)
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def select(logits, scores, done, cache):
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            V = logp.shape[-1]
+            cand = jnp.where(done[:, None], -jnp.inf, scores[:, None] + logp)
+            # a finished beam survives as exactly ONE frozen candidate
+            cand = cand.at[:, 0].set(jnp.where(done, scores, cand[:, 0]))
+            top_scores, top_idx = jax.lax.top_k(cand.reshape(-1), nb)
+            parent = top_idx // V
+            tok = (top_idx % V).astype(jnp.int32)
+            was_done = done[parent]
+            new_done = was_done | (tok == eos)
+            cache = jax.tree.map(
+                lambda a: (jnp.take(a, parent, axis=1) if a.ndim >= 3
+                           else jnp.take(a, parent, axis=0)),
+                cache,
+            )
+            return tok, parent, top_scores, new_done, was_done, cache
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, cache, token, pos, live):
+            seg = live.astype(jnp.int32)[:, None]
+            logits, cache = llava_model.decode_step(
+                params, self.cfg, token, pos, seg, cache,
+                attn_impl=self.attn_impl,
+            )
+            return logits[:, 0], cache
+
+        # beam 0 starts live, the rest at -inf (all rows are identical
+        # clones until the first expansion)
+        scores = jnp.asarray([0.0] + [-np.inf] * (nb - 1), jnp.float32)
+        done = jnp.zeros((nb,), bool)
+        logits = last_logits
+        history: List[tuple] = []   # (tok[nb], parent[nb]) per step
+        finished: List[tuple] = []  # (score_normalized, step_idx, beam)
+
+        def reconstruct(t_end, beam):
+            """Token path for `beam` through steps [0, t_end] inclusive."""
+            ids = []
+            b = beam
+            for t in range(t_end, -1, -1):
+                tok_t, par_t = history[t]
+                ids.append(int(tok_t[b]))
+                b = int(par_t[b])
+            return ids[::-1]
+
+        pos = prompt_len
+        for t in range(budget):
+            tok, parent, scores, done, was_done, cache = select(
+                logits, scores, done, cache
+            )
+            tok_h = np.asarray(jax.device_get(tok))
+            par_h = np.asarray(jax.device_get(parent))
+            done_h = np.asarray(jax.device_get(done))
+            was_h = np.asarray(jax.device_get(was_done))
+            sc_h = np.asarray(jax.device_get(scores))
+            history.append((tok_h, par_h))
+            for b in range(nb):
+                if done_h[b] and not was_h[b]:
+                    # freshly finished: tokens up to (not incl.) this EOS
+                    n_tok = t  # EOS at step t => t real tokens before it
+                    norm = sc_h[b] / max(n_tok + 1, 1) ** length_penalty
+                    finished.append((norm, t, b))
+            if bool(done_h.all()):
+                break
+            logits, cache = step(
+                self.params, cache, tok[:, None],
+                jnp.full((nb, 1), pos, jnp.int32),
+                ~done,
+            )
+            pos += 1
+
+        t_last = len(history) - 1
+        if finished:
+            norm, t_end, beam = max(finished, key=lambda f: f[0])
+            ids = reconstruct(t_end, beam)[:-1]  # drop the EOS itself
+        else:
+            sc_h = np.asarray(jax.device_get(scores))
+            n = t_last + 1
+            best = int(np.argmax(sc_h / max(n, 1) ** length_penalty))
+            ids = reconstruct(t_last, beam=best)
+        text = self.tokenizer.decode(ids, skip_special_tokens=True)
+        for s in stop_strings:
+            if s and s in text:
+                text = text.split(s)[0]
+        self._last_prompt_len = prompt_len
+        self._last_output_ids = ids
+        return GenerationResult(
+            text=text,
+            output_ids=ids,
+            prompt_tokens=prompt_len,
+            completion_tokens=len(ids),
+        )
+
     def generate(
         self,
         prompt: str,

@@ -175,3 +175,65 @@ def test_fresh_prefill_matches_general_cache_path():
     np.testing.assert_allclose(np.asarray(got)[valid], np.asarray(ref)[valid],
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(c2.k), np.asarray(c1.k), atol=1e-6)
+
+
+def test_beam_search_matches_uncached_oracle(gen):
+    """Vanilla beam search vs a cache-free reference: same expansion
+    rules, full forward per step, no KV cache — catches cache row-reorder
+    and backpointer bugs, the risky parts of the jitted implementation."""
+    from llava_plus_tpu.models import llama
+
+    prompt = "ab"
+    nb, n_new = 3, 5
+    eos = gen.tokenizer.eos_token_id
+    prompt_ids = list(gen.tokenizer(prompt).input_ids)
+
+    def next_logp(ids):
+        logits, _ = llama.forward(
+            gen.params["language_model"], gen.cfg.text,
+            jnp.asarray([ids]), attn_impl="xla",
+        )
+        return np.asarray(
+            jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+        )
+
+    beams = [(0.0, list(prompt_ids), False)]
+    for _ in range(n_new):
+        cands = []
+        for score, ids, done in beams:
+            if done:
+                cands.append((score, ids, True))
+                continue
+            lp = next_logp(ids)
+            for v in np.argsort(lp)[::-1][:nb]:
+                cands.append(
+                    (score + float(lp[v]), ids + [int(v)], int(v) == eos)
+                )
+        cands.sort(key=lambda c: -c[0])
+        beams = cands[:nb]
+        if all(d for _, _, d in beams):
+            break
+    finished = [(s / len(i[len(prompt_ids):]), i) for s, i, d in beams if d]
+    if finished:
+        _, best_ids = max(finished, key=lambda f: f[0])
+        expect = best_ids[len(prompt_ids):-1]  # drop EOS
+    else:
+        best = max(beams, key=lambda b: b[0])
+        expect = best[1][len(prompt_ids):]
+
+    res = gen.beam_search(prompt, num_beams=nb, max_new_tokens=n_new)
+    assert res.output_ids == expect, (res.output_ids, expect)
+
+
+def test_beam_search_width_one_is_greedy(gen):
+    a = gen.generate("hello", max_new_tokens=5, temperature=0.0)
+    b = gen.beam_search("hello", num_beams=1, max_new_tokens=5)
+    assert a.text == b.text
+
+
+def test_beam_search_multimodal_smoke(gen):
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(1, 28, 28, 3)).astype(np.float32)
+    res = gen.beam_search("<image>\nhi", images=img, num_beams=2,
+                          max_new_tokens=3)
+    assert 0 < len(res.output_ids) <= 3
