@@ -105,41 +105,42 @@ class EvalSession:
 
         return process_images([image], self.image_processor, self.cfg)
 
-    def _request(self, prompt, image, stop_strings):
+    def _request(self, prompt, image, stop_strings, max_new_tokens=None):
         from llava_plus_tpu.serve.engine import Request
 
         return Request(
             prompt=prompt, images=self._pixels(image),
-            max_new_tokens=self.max_new_tokens,
+            max_new_tokens=max_new_tokens or self.max_new_tokens,
             temperature=self.temperature, top_p=self.top_p,
             stop_strings=list(stop_strings),
         )
 
-    def answer(self, prompt: str, image=None, stop_strings=()) -> str:
+    def answer(self, prompt: str, image=None, stop_strings=(),
+               max_new_tokens=None) -> str:
         if self.backend is not None:
             return self.backend.answer(prompt, image)
         if self.engine is not None:
             return self.engine.generate(
-                self._request(prompt, image, stop_strings)
+                self._request(prompt, image, stop_strings, max_new_tokens)
             ).strip()
         if self.num_beams > 1:
             result = self.generator.beam_search(
                 prompt, images=self._pixels(image),
                 num_beams=self.num_beams,
-                max_new_tokens=self.max_new_tokens,
+                max_new_tokens=max_new_tokens or self.max_new_tokens,
                 stop_strings=list(stop_strings),
             )
             return result.text.strip()
         result = self.generator.generate(
             prompt, images=self._pixels(image),
-            max_new_tokens=self.max_new_tokens,
+            max_new_tokens=max_new_tokens or self.max_new_tokens,
             temperature=self.temperature,
             top_p=self.top_p,
             stop_strings=list(stop_strings),
         )
         return result.text.strip()
 
-    def answer_many(self, items, stop_strings=()):
+    def answer_many(self, items, stop_strings=(), max_new_tokens=None):
         """Yield answers for an iterable of ``(prompt, image)`` IN ORDER.
 
         With an engine, requests are submitted ahead (window of
@@ -149,7 +150,8 @@ class EvalSession:
         ``answer`` — same output either way (greedy equality)."""
         if self.engine is None:
             for prompt, image in items:
-                yield self.answer(prompt, image, stop_strings)
+                yield self.answer(prompt, image, stop_strings,
+                                  max_new_tokens)
             return
         from collections import deque
 
@@ -163,7 +165,7 @@ class EvalSession:
             except StopIteration:
                 return False
             pending.append(self.engine.submit(
-                self._request(prompt, image, stop_strings)
+                self._request(prompt, image, stop_strings, max_new_tokens)
             ))
             return True
 

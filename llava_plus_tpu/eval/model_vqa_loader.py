@@ -96,7 +96,8 @@ def main():
     parser.add_argument("--num-beams", "--num_beams", type=int, default=1,
                         dest="num_beams")
     parser.add_argument("--top_p", type=float, default=1.0)
-    parser.add_argument("--max-new-tokens", type=int, default=128)
+    parser.add_argument("--max-new-tokens", "--max_new_tokens",
+                        type=int, default=128, dest="max_new_tokens")
     parser.add_argument("--engine-slots", type=int, default=0,
                         help="answer through the continuous-batching "
                         "engine with this many concurrent slots (0 = "

@@ -65,6 +65,7 @@ def eval_model(args, session=None):
     session = session or EvalSession(
         args.model_path, args.model_base, conv_mode=args.conv_mode,
         temperature=args.temperature, max_new_tokens=128,
+        top_p=getattr(args, 'top_p', None) or 1.0,
         num_beams=getattr(args, "num_beams", 1),
         engine_slots=getattr(args, "engine_slots", 0),
     )
@@ -151,6 +152,7 @@ def main():
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--num-beams", "--num_beams", type=int, default=1,
                         dest="num_beams")
+    parser.add_argument("--top_p", type=float, default=None)
     parser.add_argument("--all-rounds", action="store_true")
     parser.add_argument("--single-pred-prompt", action="store_true")
     parser.add_argument("--lang", type=str, default="en")

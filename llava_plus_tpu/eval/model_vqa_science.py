@@ -65,10 +65,30 @@ def eval_model(args, session=None):
             yield prompt, image
 
     try:
+        answers = session.answer_many(items(), stop_strings=[stop])
+        if getattr(args, "answer_prompter", False):
+            # CoT requery (ref model_vqa_science.py:97-120): re-generate
+            # on prompt + reasoning + ' ###\nANSWER:' (64 tokens), final
+            # text = reasoning + '\n The answer is ' + answer. Two batched
+            # passes — pass 2's prompts depend on pass 1's outputs.
+            reasonings = list(answers)
+
+            def requery_items():
+                for line, reasoning in zip(questions, reasonings):
+                    prompt, image, _ = build(line)
+                    yield prompt + reasoning + " ###\nANSWER:", image
+
+            answers = (
+                r + "\n The answer is " + a
+                for r, a in zip(
+                    reasonings,
+                    session.answer_many(requery_items(),
+                                        stop_strings=[stop],
+                                        max_new_tokens=64),
+                )
+            )
         with open(answers_file, "w") as f:
-            for i, (line, outputs) in enumerate(zip(
-                questions, session.answer_many(items(), stop_strings=[stop])
-            )):
+            for i, (line, outputs) in enumerate(zip(questions, answers)):
                 f.write(json.dumps({
                     "question_id": line["id"],
                     "prompt": cur_prompts.pop(i),
@@ -78,11 +98,11 @@ def eval_model(args, session=None):
                     "metadata": {},
                 }) + "\n")
                 f.flush()
-
-
     finally:
         if owned:
             session.close()
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model-path", type=str, default=None)
@@ -97,6 +117,7 @@ def main():
     parser.add_argument("--num-beams", "--num_beams", type=int, default=1,
                         dest="num_beams")
     parser.add_argument("--single-pred-prompt", action="store_true")
+    parser.add_argument("--answer-prompter", action="store_true")
     parser.add_argument("--engine-slots", type=int, default=0,
                         help="answer through the continuous-batching "
                         "engine with this many concurrent slots (0 = "

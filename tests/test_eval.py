@@ -330,3 +330,38 @@ def test_model_vqa_mmbench_all_rounds(tmp_path):
     assert out[0]["prompt"].startswith("A pet.\nWhich animal?")
     assert out[3]["prompt"].startswith("Which number?")
     assert all(r["text"] == "A" for r in out)
+
+
+def test_model_vqa_science_answer_prompter(tmp_path):
+    """--answer-prompter: second batched pass requeries with
+    prompt + reasoning + ' ###\\nANSWER:' and the final text is
+    reasoning + '\\n The answer is ' + answer (ref science runner)."""
+    from llava_plus_tpu.eval import model_vqa_science
+    from llava_plus_tpu.eval.common import EvalSession
+
+    questions = [
+        {"id": "q0", "conversations": [
+            {"from": "human", "value": "Why is the sky blue?"}]},
+    ]
+    qfile = tmp_path / "sqa2.json"
+    qfile.write_text(json.dumps(questions))
+
+    class FakeBackend:
+        def answer(self, prompt, image):
+            if "###\nANSWER:" in prompt:
+                assert "because scattering" in prompt  # reasoning included
+                return "B"
+            return "because scattering"
+
+    args = types.SimpleNamespace(
+        model_path="m", model_base=None, image_folder="",
+        question_file=str(qfile),
+        answers_file=str(tmp_path / "sqa2_ans.jsonl"),
+        conv_mode="llava_v1", num_chunks=1, chunk_idx=0,
+        temperature=0.0, single_pred_prompt=False, answer_prompter=True,
+    )
+    model_vqa_science.eval_model(
+        args, session=EvalSession(None, backend=FakeBackend())
+    )
+    rows = [json.loads(l) for l in open(tmp_path / "sqa2_ans.jsonl")]
+    assert rows[0]["text"] == "because scattering\n The answer is B"
