@@ -48,7 +48,8 @@ def eval_model(args, session=None):
             session.close()
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model-path", type=str, default=None)
+    parser.add_argument("--model-path", "--model-name", type=str,
+                        default=None, dest="model_path")
     parser.add_argument("--question-file", type=str, required=True)
     parser.add_argument("--answers-file", type=str, required=True)
     parser.add_argument("--conv-mode", type=str, default="v1")
