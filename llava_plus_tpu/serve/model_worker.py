@@ -79,9 +79,11 @@ class JaxBackend:
                  paged: bool = False, max_seq_len: Optional[int] = None,
                  pool_tokens: Optional[int] = None,
                  rope_scaling: Optional[str] = None,
-                 speculate: int = 0, prefix_cache: bool = True):
+                 speculate: int = 0, prefix_cache: bool = True,
+                 stream_interval: int = 1):
         from llava_plus_tpu.models.builder import load_pretrained_model
 
+        self.stream_interval = max(int(stream_interval or 1), 1)
         (self.tokenizer, params, self.cfg, self.image_processor,
          self.context_len) = load_pretrained_model(
             model_path, model_base, model_name, dtype=load_dtype
@@ -216,8 +218,19 @@ class JaxBackend:
                 max_new_tokens=max_new_tokens, temperature=temperature,
                 top_p=top_p, stop_strings=[stop_str] if stop_str else [],
             )
+        # --stream-interval N: push every Nth cumulative update plus the
+        # final one (ref model_worker.py streams every N tokens)
+        every = max(int(getattr(self, "stream_interval", 1) or 1), 1)
+        n, last = 0, None
         for text in stream:
-            yield ori_prompt + text
+            n += 1
+            if n % every == 0:
+                yield ori_prompt + text
+                last = None
+            else:
+                last = text
+        if last is not None:
+            yield ori_prompt + last
 
 
 def heart_beat_worker(worker: "ModelWorker"):
@@ -247,6 +260,7 @@ class ModelWorker:
         self.global_counter = 0
         self.metrics: dict = {}
         self._stop = threading.Event()
+        self.no_register = no_register
         if not no_register:
             self.register_to_controller()
             if heartbeats:
@@ -397,7 +411,11 @@ def build_app(worker: ModelWorker):
         if worker.semaphore is None:
             worker.semaphore = asyncio.Semaphore(worker.limit_model_concurrency)
         await worker.semaphore.acquire()
-        worker.send_heart_beat()
+        if not worker.no_register:
+            # per-request queue-length heartbeat (ref model_worker.py:239);
+            # skipped standalone — the reference retries a nonexistent
+            # controller forever here, wedging the response (ref bug)
+            worker.send_heart_beat()
         resp = web.StreamResponse()
         await resp.prepare(request)
         loop = asyncio.get_event_loop()
@@ -410,7 +428,8 @@ def build_app(worker: ModelWorker):
                 await resp.write(chunk)
         finally:
             worker.semaphore.release()
-            worker.send_heart_beat()
+            if not worker.no_register:
+                worker.send_heart_beat()
         await resp.write_eof()
         return resp
 
@@ -498,6 +517,15 @@ def main():
     parser.add_argument("--speculate", type=int, default=0,
                         help="prompt-lookup speculative decoding: propose N "
                              "tokens per step (greedy streams; exact)")
+    parser.add_argument("--stream-interval", type=int, default=1,
+                        help="push every Nth streamed update (ref flag)")
+    parser.add_argument("--device", type=str, default=None,
+                        help="accepted for reference-CLI compatibility; "
+                             "placement is JAX's (the TPU chip)")
+    parser.add_argument("--multi-modal", action="store_true",
+                        help="accepted for reference-CLI compatibility; "
+                             "multimodality is inferred from the model "
+                             "(as in the reference)")
     args = parser.parse_args()
     logger.info(f"args: {args}")
 
@@ -529,6 +557,7 @@ def main():
             pool_tokens=args.pool_tokens, rope_scaling=args.rope_scaling,
             speculate=args.speculate,
             prefix_cache=not args.no_prefix_cache,
+            stream_interval=args.stream_interval,
         )
         model_names = [name]
 
