@@ -50,6 +50,9 @@ class ModelArguments:
     mm_use_im_patch_token: bool = False
     tiny_debug_model: bool = False  # tests/CI: random tiny model
     tiny_debug_arch: str = "llama"  # "llama" | "mpt" backbone for it
+    # accepted for reference-recipe compatibility; attention is always the
+    # fused Pallas/XLA kernel here (no triton/torch impl to select)
+    mpt_attn_impl: Optional[str] = "triton"
 
 
 @dataclasses.dataclass
@@ -89,10 +92,23 @@ class TrainingArguments:
     # 4/8 = QLoRA: quantize the frozen LM (blockwise int4 / per-channel int8)
     # and train only the adapters (ref train.py:814-831 bitsandbytes path).
     bits: int = 16
+    # train everything EXCEPT the projector (ref train.py:945-948)
+    freeze_mm_mlp_adapter: bool = False
     lora_enable: bool = False
     lora_r: int = 128
     lora_alpha: int = 256
     lora_dropout: float = 0.05
+    # accepted for reference-recipe compatibility. optimizer is optax
+    # adamw (== adamw_torch); QLoRA quantization here is blockwise int4 /
+    # per-channel int8 (not nf4 double-quant — see docs/LoRA.md); LoRA
+    # bias training is unsupported (PEFT default "none" is what exports)
+    optim: str = "adamw_torch"
+    remove_unused_columns: bool = False
+    double_quant: bool = True
+    quant_type: str = "nf4"
+    lora_bias: str = "none"
+    lora_weight_path: str = ""
+    cache_dir: Optional[str] = None
     dp: int = 1
     fsdp_axis: Optional[int] = None
     tp: int = 1
@@ -209,9 +225,15 @@ def train(model_args: ModelArguments, data_args: DataArguments,
         train_language_model=not (
             model_args.tune_mm_mlp_adapter or model_args.freeze_backbone
         ),
-        train_mm_projector=True,
+        train_mm_projector=not training_args.freeze_mm_mlp_adapter,
         train_vision_tower=False,
     )
+    if training_args.lora_bias != "none":
+        logger.warning(
+            "--lora-bias %r: only 'none' is supported (the PEFT export "
+            "carries no bias terms); proceeding without bias training",
+            training_args.lora_bias,
+        )
     lora_cfg = None
     lora_params = None
     if training_args.lora_enable:

@@ -183,3 +183,31 @@ def test_mpt_backbone_training(corpus, tmp_path):
     assert cfg2.language_model_type == "mpt"
     params2, _ = llava_params_from_hf_dir(out / "hf_export", dtype="float32")
     assert "wte" in params2["language_model"]
+
+
+def test_freeze_mm_mlp_adapter(corpus, tmp_path):
+    """--freeze_mm_mlp_adapter: the projector must not move while the LM
+    does (ref train.py:945-948)."""
+    model_args, data_args, training_args = _args(
+        corpus, tmp_path, freeze_mm_mlp_adapter=True,
+    )
+    training_args = dataclasses.replace(training_args, max_steps=1,
+                                        save_steps=100)
+    tok = SpLikeTokenizer()
+    tok.model_max_length = 96
+    params, cfg = train(model_args, data_args, training_args, tokenizer=tok)
+
+    import jax
+    from llava_plus_tpu.models import llava as llava_model
+    import jax.numpy as jnp
+    fresh = llava_model.init_params(cfg, jax.random.PRNGKey(0),
+                                    dtype=jnp.float32)
+    proj_same = jax.tree.all(jax.tree.map(
+        lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()),
+        params["mm_projector"], fresh["mm_projector"],
+    ))
+    lm_moved = not jax.tree.all(jax.tree.map(
+        lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()),
+        params["language_model"], fresh["language_model"],
+    ))
+    assert proj_same and lm_moved
