@@ -413,6 +413,27 @@ def main():
     import os
     import subprocess
 
+    # Device liveness gate: a wedged/unavailable TPU tunnel blocks backend
+    # init for ~25 min PER subprocess; without this gate the fallback
+    # chain would burn hours discovering the same outage 12 times.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "print(float(jnp.ones(2).sum()))"],
+            capture_output=True, text=True, timeout=1800,
+        )
+        if probe.returncode != 0:
+            raise RuntimeError(probe.stderr[-500:])
+    except Exception as e:
+        print(f"bench: device unavailable, skipping: {e}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "serving_images_plus_tokens_per_sec_per_chip",
+            "value": 0.0, "unit": "img+tok/s/chip", "vs_baseline": 0.0,
+            "detail": {"error": "device unavailable (tunnel down)"},
+        }))
+        return
+
     # On-chip kernel equality checks first: writes TPUCHECKS.json (the
     # driver-visible artifact proving the compiled TPU kernels — not their
     # CPU fallbacks — match the XLA references this round). Additive:
