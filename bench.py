@@ -68,11 +68,14 @@ def build(model_name: str):
     params = llava_model.init_params(
         cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16
     )
-    if model_name.endswith(("-int8", "-int4")):
+    if model_name.endswith(("-int8", "-int4", "-int8f")):
         from llava_plus_tpu.ops.quant import quantize_llava_params
 
         bits = 4 if model_name.endswith("-int4") else 8
-        params = quantize_llava_params(params, bits=bits, fuse=(bits == 4))
+        # "-int8f" fuses qkv/gate|up for int8 too (experiment: int4 wins
+        # from fusing; int8's XLA dots may or may not — measure, not guess)
+        fuse = bits == 4 or model_name.endswith("-int8f")
+        params = quantize_llava_params(params, bits=bits, fuse=fuse)
     return cfg, params
 
 
