@@ -459,10 +459,12 @@ def main():
     # precision (int4 measures slower than int8 at these shapes: the Pallas
     # matvec kernel underutilizes the MXU), then model size.
     for model, batch, kv8, lttft in (
-        # batch 24: ~6.4 GB int8 KV @1024ctx + ~7 GB int8 weights fits the
-        # 16 GB chip; decode cost per column is mostly shared (weight
-        # stream + fixed dispatch), so more streams/column = more img+tok/s
-        ("llava-1.5-7b-int8", 24, True, True),
+        # batch 16 is the measured sweet spot. Batch 24 FITS (~6.4 GB int8
+        # KV + ~7 GB int8 weights) but measures WORSE on every axis
+        # (355 vs 412 img+tok/s, 694 ms loaded TTFT, pathological burst):
+        # at ~15 GB resident the allocator spills transients and decode
+        # drops from 47% to 31% of the HBM speed-of-light — more streams
+        # stop paying once the weight stream is no longer the bottleneck.
         ("llava-1.5-7b-int8", 16, True, True),
         ("llava-1.5-7b-int8", 8, True, True),
         ("llava-1.5-7b-int8", 8, False, False),
