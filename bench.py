@@ -142,12 +142,28 @@ def _prequantized_params(cfg, bits: int):
     return build(shapes, ())
 
 
-def measure_loaded_ttft(cfg, params, kv_int8: bool, *, n_background=8,
-                        n_probes=16):
-    """p50 TTFT for a request admitted while ``n_background`` slots are
-    decoding — the honest at-occupancy number the north star asks for
-    (new request's prefill incl. vision encode overlaps a busy engine).
-    Uses the real continuous-batching engine + DebugTokenizer."""
+def _bench_prompt(cfg):
+    n_text = max(PREFILL_LEN - cfg.num_image_tokens - 8, 8)
+    return "<image>\n" + " ".join(f"word{i}" for i in range(n_text))
+
+
+def measure_engine_metrics(cfg, params, kv_int8: bool, *, slots=16,
+                           n_background=8, n_probes=16, n_arrivals=16):
+    """Latency metrics on ONE engine at the HEADLINE serving config
+    (``slots`` continuous-batching slots, engine-default prefill_batch /
+    decode_chunk — the same machine the throughput number sells):
+
+    - cold_first_request_s: engine construction -> first streamed token,
+      nothing warmed (the XLA-compile cost a fresh worker's very first
+      request pays; warmup() makes this a one-time construction cost).
+    - warmup_s: engine.warmup() wall time (full program set).
+    - burst16 p50/p95: TTFT for ``n_arrivals`` SIMULTANEOUS arrivals at
+      the idle WARM engine — batched prefill admission bounds how long
+      late arrivals wait behind earlier prefills.
+    - loaded p50: TTFT for a probe admitted while ``n_background`` slots
+      are decoding (the honest at-occupancy north-star number: prefill
+      incl. vision encode overlaps a busy engine).
+    """
     import statistics
 
     import jax.numpy as jnp
@@ -157,86 +173,31 @@ def measure_loaded_ttft(cfg, params, kv_int8: bool, *, n_background=8,
 
     rng = np.random.default_rng(0)
     img_size = cfg.vision.image_size
-    n_text = max(PREFILL_LEN - cfg.num_image_tokens - 8, 8)
-    prompt = "<image>\n" + " ".join(f"word{i}" for i in range(n_text))
+    prompt = _bench_prompt(cfg)
 
     def image():
         return rng.normal(size=(1, img_size, img_size, 3)).astype(np.float32)
 
+    out = {}
     tok = DebugTokenizer(vocab_size=cfg.text.vocab_size)
+    t0 = time.perf_counter()
     eng = BatchedEngine(
         params, cfg, tok,
-        max_slots=n_background + 1, max_seq_len=CACHE_LEN,
+        max_slots=slots, max_seq_len=CACHE_LEN,
         prefill_bucket=256,
         cache_dtype=jnp.int8 if kv_int8 else jnp.bfloat16,
     )
     try:
-        for _ in range(n_background):
-            eng.submit(Request(
-                prompt=prompt, images=image(), max_new_tokens=200,
-                temperature=1.0, top_p=0.95,
-            ))
-        deadline = time.time() + 600
-        while eng.num_active < n_background and time.time() < deadline:
-            time.sleep(0.05)
+        cold = Request(prompt=prompt, images=image(), max_new_tokens=4)
+        eng.submit(cold)
+        assert cold._chunks.get(timeout=900) is not None
+        out["cold_first_request_s"] = round(time.perf_counter() - t0, 4)
+        while cold._chunks.get(timeout=900) is not None:
+            pass
 
-        ttfts = []
-        for i in range(n_probes):
-            probe = Request(prompt=prompt, images=image(), max_new_tokens=4)
-            eng.submit(probe)
-            # first streamed chunk == first token emitted at prefill
-            first = probe._chunks.get(timeout=120)
-            assert first is not None
-            ttfts.append(probe.ttft)
-            while probe._chunks.get(timeout=120) is not None:
-                pass
-            time.sleep(0.2)  # let the pool settle back to steady decode
-        return round(statistics.median(ttfts), 4)
-    finally:
-        eng.stop()
+        out["warmup_s"] = round(eng.warmup(prompt_len=PREFILL_LEN), 4)
 
-
-def measure_burst_ttft(cfg, params, kv_int8: bool, *, n_arrivals=16):
-    """TTFT distribution for ``n_arrivals`` SIMULTANEOUS arrivals at an
-    idle engine (the arrival-storm case): batched prefill admission
-    (engine.prefill_batch) bounds how long late arrivals wait behind
-    earlier prefills. Returns (p50, p95) seconds."""
-    import jax.numpy as jnp
-
-    from llava_plus_tpu.data.debug_tokenizer import DebugTokenizer
-    from llava_plus_tpu.serve.engine import BatchedEngine, Request
-
-    rng = np.random.default_rng(1)
-    img_size = cfg.vision.image_size
-    n_text = max(PREFILL_LEN - cfg.num_image_tokens - 8, 8)
-    prompt = "<image>\n" + " ".join(f"word{i}" for i in range(n_text))
-    tok = DebugTokenizer(vocab_size=cfg.text.vocab_size)
-    # TTFT is emitted at prefill completion, BEFORE slot insertion
-    # (engine._prepare), so slot count does not affect the measurement —
-    # keep the slot cache small (16 dense slots of int8 KV plus prefill
-    # transients OOM a 16 GB chip next to 7B int8 weights).
-    eng = BatchedEngine(
-        params, cfg, tok, max_slots=4, max_seq_len=CACHE_LEN,
-        prefill_bucket=256,
-        cache_dtype=jnp.int8 if kv_int8 else jnp.bfloat16,
-    )
-    try:
-        def image():
-            return rng.normal(
-                size=(1, img_size, img_size, 3)).astype(np.float32)
-
-        # Warm EVERY prefill batch size the engine compiles (its fixed
-        # bucket set) at this prompt's seq bucket — deterministic direct
-        # _prepare calls, so the storm below measures steady-state serving
-        # (a long-running server has all (N, S) programs compiled), not
-        # XLA compile latency.
-        for n in eng._prefill_batch_sizes():
-            warm = [Request(prompt=prompt, images=image(), max_new_tokens=1)
-                    for _ in range(n)]
-            eng._prepare(warm)
-            for r in warm:
-                r._chunks.get(timeout=600)  # first-token barrier
-
+        # ---- burst: simultaneous arrivals at the idle warm engine ----
         reqs = [Request(prompt=prompt, images=image(), max_new_tokens=4)
                 for _ in range(n_arrivals)]
         for r in reqs:
@@ -245,13 +206,102 @@ def measure_burst_ttft(cfg, params, kv_int8: bool, *, n_arrivals=16):
             while r._chunks.get(timeout=600) is not None:
                 pass
         ttfts = sorted(r.ttft for r in reqs if r.ttft is not None)
-        if not ttfts:
-            return None, None
-        p50 = ttfts[len(ttfts) // 2]
-        p95 = ttfts[min(int(len(ttfts) * 0.95), len(ttfts) - 1)]
-        return round(p50, 4), round(p95, 4)
+        if ttfts:
+            out["burst16_ttft_p50_s"] = round(ttfts[len(ttfts) // 2], 4)
+            out["burst16_ttft_p95_s"] = round(
+                ttfts[min(int(len(ttfts) * 0.95), len(ttfts) - 1)], 4
+            )
+
+        # ---- loaded: probes against n_background decoding slots ----
+        # (a probe needs a slot to drain into: with few slots, leave one)
+        n_background = min(n_background, max(slots - 1, 1))
+        for _ in range(n_background):
+            eng.submit(Request(
+                prompt=prompt, images=image(), max_new_tokens=200,
+                temperature=1.0, top_p=0.95,
+            ))
+        deadline = time.time() + 600
+        while eng.num_active < n_background and time.time() < deadline:
+            time.sleep(0.05)
+        probes = []
+        for i in range(n_probes):
+            probe = Request(prompt=prompt, images=image(), max_new_tokens=4)
+            eng.submit(probe)
+            # first streamed chunk == first token emitted at prefill
+            first = probe._chunks.get(timeout=120)
+            assert first is not None
+            probes.append(probe.ttft)
+            while probe._chunks.get(timeout=120) is not None:
+                pass
+            time.sleep(0.2)  # let the pool settle back to steady decode
+        out["loaded_ttft_p50_s"] = round(statistics.median(probes), 4)
     finally:
         eng.stop()
+    return out
+
+
+def run_paged_engine(model_name: str, slots: int, kv_int8: bool = True):
+    """End-to-end ENGINE throughput over the paged KV pool: ``slots``
+    concurrent streams (prefill 768 incl. vision encode + 128 new tokens
+    each) through the warmed continuous-batching engine. The paged pool
+    decouples occupancy from the dense cache's max_slots*max_seq_len HBM
+    bill (dense b24 spills ~15 GB and regresses; the pool allocates only
+    prompt+budget pages per stream), so occupancy can exceed 16."""
+    import jax.numpy as jnp
+
+    from llava_plus_tpu.data.debug_tokenizer import DebugTokenizer
+    from llava_plus_tpu.serve.engine import BatchedEngine, Request
+
+    cfg, params = build(model_name)
+    rng = np.random.default_rng(0)
+    img_size = cfg.vision.image_size
+    prompt = _bench_prompt(cfg)
+
+    def image():
+        return rng.normal(size=(1, img_size, img_size, 3)).astype(np.float32)
+
+    tok = DebugTokenizer(vocab_size=cfg.text.vocab_size)
+    page_size = 128
+    per_req_pages = -(-(PREFILL_LEN + MAX_NEW_TOKENS + 1) // page_size)
+    eng = BatchedEngine(
+        params, cfg, tok,
+        max_slots=slots, max_seq_len=CACHE_LEN, prefill_bucket=256,
+        cache_dtype=jnp.int8 if kv_int8 else jnp.bfloat16,
+        paged=True, page_size=page_size,
+        pool_tokens=slots * per_req_pages * page_size,
+        prefix_cache=False,  # distinct images per request; pure occupancy
+    )
+    try:
+        warmup_s = eng.warmup(prompt_len=PREFILL_LEN)
+        reqs = [Request(prompt=prompt, images=image(),
+                        max_new_tokens=MAX_NEW_TOKENS)
+                for _ in range(slots)]
+        t0 = time.perf_counter()
+        for r in reqs:
+            eng.submit(r)
+        counts = []
+        for r in reqs:
+            n = 0
+            while r._chunks.get(timeout=900) is not None:
+                n += 1
+            counts.append(n)
+        wall = time.perf_counter() - t0
+    finally:
+        eng.stop()
+    total = sum(counts) + len(counts)  # +1 image per stream
+    return {
+        "metric": "serving_images_plus_tokens_per_sec_per_chip",
+        "value": round(total / wall, 3),
+        "unit": "img+tok/s/chip",
+        "vs_baseline": round(total / wall / A100_BASELINE_IPS, 3),
+        "detail": {
+            "model": model_name, "baseline": "estimate", "mode": "paged",
+            "slots": slots, "kv_cache": "int8" if kv_int8 else "bf16",
+            "warmup_s": round(warmup_s, 2), "wall_s": round(wall, 2),
+            "tokens": total, "prefill_len": PREFILL_LEN,
+            "new_tokens": MAX_NEW_TOKENS,
+        },
+    }
 
 
 def run(model_name: str, batch_size: int = 1, kv_int8: bool = False,
@@ -376,18 +426,18 @@ def run(model_name: str, batch_size: int = 1, kv_int8: bool = False,
     images_plus_tokens = B * (1 + MAX_NEW_TOKENS)
     ips = images_plus_tokens / total_time
 
-    loaded_ttft_s = None
-    burst = (None, None)
+    engine_metrics = {}
     if loaded_ttft:
         del cache2, tok, toks  # free the throughput run before the engine
         try:
-            loaded_ttft_s = measure_loaded_ttft(cfg, params, kv_int8)
+            # latency metrics at the HEADLINE config: same slot count as
+            # the throughput batch (VERDICT r3 item 1/6 — the storm must
+            # measure the machine being sold, after its warmup)
+            engine_metrics = measure_engine_metrics(
+                cfg, params, kv_int8, slots=B,
+            )
         except Exception as e:  # measurement is additive; never fail the bench
-            print(f"loaded-ttft measurement failed: {e}", file=sys.stderr)
-        try:
-            burst = measure_burst_ttft(cfg, params, kv_int8)
-        except Exception as e:
-            print(f"burst-ttft measurement failed: {e}", file=sys.stderr)
+            print(f"engine-metrics measurement failed: {e}", file=sys.stderr)
 
     return {
         "metric": "serving_images_plus_tokens_per_sec_per_chip",
@@ -400,9 +450,12 @@ def run(model_name: str, batch_size: int = 1, kv_int8: bool = False,
             "batch": B,
             "kv_cache": "int8" if kv_int8 else "bf16",
             "ttft_s": round(ttft, 4),
-            "loaded_ttft_p50_s": loaded_ttft_s,
-            "burst16_ttft_p50_s": burst[0],
-            "burst16_ttft_p95_s": burst[1],
+            "loaded_ttft_p50_s": engine_metrics.get("loaded_ttft_p50_s"),
+            "burst16_ttft_p50_s": engine_metrics.get("burst16_ttft_p50_s"),
+            "burst16_ttft_p95_s": engine_metrics.get("burst16_ttft_p95_s"),
+            "cold_first_request_s": engine_metrics.get(
+                "cold_first_request_s"),
+            "warmup_s": engine_metrics.get("warmup_s"),
             "decode_tok_s": round(MAX_NEW_TOKENS / decode_time, 2),
             "prefill_len": PREFILL_LEN,
             "new_tokens": MAX_NEW_TOKENS,
@@ -486,7 +539,10 @@ def main():
         if lttft:
             cmd.append("--loaded-ttft")
         proc = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=1800,
+            cmd, capture_output=True, text=True,
+            # the engine-metrics attempt additionally pays the cold-start
+            # probe + full warmup compile set inside the measurement
+            timeout=2700 if lttft else 1800,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
@@ -508,8 +564,14 @@ if __name__ == "__main__":
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--kv-int8", action="store_true")
     parser.add_argument("--loaded-ttft", action="store_true")
+    parser.add_argument("--paged", action="store_true",
+                        help="engine throughput over the paged KV pool "
+                             "(--batch becomes the slot/occupancy count)")
     args = parser.parse_args()
-    if args.model:
+    if args.model and args.paged:
+        print(json.dumps(run_paged_engine(args.model, args.batch,
+                                          args.kv_int8)))
+    elif args.model:
         print(json.dumps(run(args.model, args.batch, args.kv_int8,
                              loaded_ttft=args.loaded_ttft)))
     else:

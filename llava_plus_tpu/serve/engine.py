@@ -239,6 +239,7 @@ class BatchedEngine:
         self.spec_min_accept = 1.1
 
         self._build_programs()
+        self.warmup_s = 0.0  # set by warmup()
 
         self.cache = self._make_cache()
         self.tokens = jnp.zeros((max_slots, 1), jnp.int32)
@@ -768,6 +769,161 @@ class BatchedEngine:
         self._stop.set()
         self._thread.join(timeout=5)
         self._prefill_thread.join(timeout=5)
+
+    # -- warmup ----------------------------------------------------------
+
+    def _warmup_prompt(self, prompt_len: int, image: bool) -> str:
+        """A prompt whose FUSED length (text tokens + image patches) lands
+        in the same prefill bucket as ``prompt_len`` — so warming with it
+        compiles exactly the programs real prompts of that length hit."""
+        from llava_plus_tpu.constants import IMAGE_TOKEN_INDEX
+        from llava_plus_tpu.mm_utils import tokenizer_image_token
+
+        npatch = self.cfg.num_image_tokens
+        prompt_len = min(prompt_len, self.max_seq_len - 8)
+        bucket = -(-prompt_len // self.prefill_bucket) * self.prefill_bucket
+        lo, hi = bucket - self.prefill_bucket + 1, min(
+            bucket, self.max_seq_len - 2
+        )
+        target = hi - 4
+        prefix = "<image>\n" if image else ""
+        n_words = max(target - (npatch if image else 0), 4)
+        for _ in range(12):
+            prompt = prefix + " ".join(f"w{i % 31}" for i in range(n_words))
+            ids = tokenizer_image_token(prompt, self.tokenizer)
+            n_img = sum(1 for t in ids if t == IMAGE_TOKEN_INDEX)
+            fused = len(ids) + n_img * (npatch - 1)
+            if lo <= fused <= hi:
+                return prompt
+            # Newton step on the MEASURED tokens-per-word rate (word-level
+            # tokenizers are ~1, char-level ~3.5; assuming 1 oscillates)
+            per = max(fused / max(n_words, 1), 0.25)
+            step = int(round((target - fused) / per))
+            n_words = max(
+                n_words + (step or (1 if fused < lo else -1)), 1
+            )
+        return prompt  # best effort: worst case warms a neighbouring bucket
+
+    def warmup(self, prompt_len: int = 768, *, image: bool = True) -> float:
+        """Compile the engine's FULL program set before serving: every
+        prefill batch size at ``prompt_len``'s bucket (with the vision
+        tower when ``image``), the matching insert programs, both decode
+        programs, the speculative step (when enabled), and the paged
+        suffix-prefill path. Without this, a fresh worker's first requests
+        pay multi-second XLA compiles (BENCH_r03 measured a 16-arrival
+        storm at 35 s p50 on a cold engine vs <2 s warm).
+
+        Call BEFORE serving traffic (idle engine): warmup drives the
+        compiled programs directly on the live cache buffers, which is
+        only safe while no slot is occupied. Returns seconds spent and
+        records it as ``self.warmup_s``."""
+        t0 = time.perf_counter()
+        image = image and self.cfg.num_image_tokens > 0
+        prompt = self._warmup_prompt(prompt_len, image)
+        img_shape = (1, self.cfg.vision.image_size,
+                     self.cfg.vision.image_size, 3)
+        rng = np.random.default_rng(0)
+        maxp = self.max_seq_len // self.page_size if self.paged else 0
+
+        # 1. prefill + insert programs, one pair per admission batch size
+        for n in self._prefill_batch_sizes():
+            reqs = [
+                Request(
+                    prompt=prompt,
+                    images=(rng.normal(size=img_shape).astype(np.float32)
+                            if image else None),
+                    max_new_tokens=4, temperature=0.0,
+                )
+                for _ in range(n)
+            ]
+            preps = self._prepare(reqs)
+            prep = next((p for p in preps if p is not None), None)
+            if prep is None:
+                continue  # freak eos-on-first-token; insert warms lazily
+            # run the insert program WITHOUT occupying a slot (the engine
+            # loop is live; a visible dummy occupant would start decoding):
+            # slot 0 gets a garbage seg row, which is exactly the state a
+            # finished request leaves behind — rebuilt at the next insert
+            if self.paged:
+                pages = self._alloc_pages(prep.needed_pages)
+                pages_vec = jnp.asarray(
+                    (pages + [0] * maxp)[:maxp], jnp.int32
+                )
+                self.cache, self.tokens = self._insert_paged(
+                    self.cache, prep.cache1, jnp.int32(prep.row), 0,
+                    pages_vec, jnp.int32(len(pages) * self.page_size),
+                    jnp.asarray([prep.first_id], jnp.int32), self.tokens,
+                )
+                self._release_pages(pages)
+            else:
+                self.cache, self.tokens = self._insert(
+                    self.cache, prep.cache1, jnp.int32(prep.row), 0,
+                    jnp.asarray([prep.first_id], jnp.int32), self.tokens,
+                )
+            del preps, prep  # free the bucket-sized prefill cache
+
+        # 2. decode programs (shapes fixed by the slot pool; all-inactive
+        # masks mean no cache state is disturbed)
+        B = self.max_slots
+        positions = jnp.full((B,), self.max_seq_len, jnp.int32)
+        active = jnp.zeros((B,), bool)
+        keys = jnp.stack([jax.random.PRNGKey(0)] * B)
+        temps = jnp.zeros((B,), jnp.float32)
+        tops = jnp.ones((B,), jnp.float32)
+        self.tokens, self.cache = self._decode(
+            self.params, self.cache, self.tokens, positions, active,
+            keys, temps, tops,
+        )
+        if self.decode_chunk > 1:
+            _, self.tokens, self.cache = self._decode_n(
+                self.params, self.cache, self.tokens, positions, active,
+                keys, temps, tops, n_steps=self.decode_chunk,
+            )
+        self.tokens = self._set_token(
+            self.tokens, jnp.asarray([0], jnp.int32), jnp.int32(0)
+        )
+
+        # 3. speculative step (hlen == 0 + seg masks: nothing attended,
+        # written, or emitted for any slot)
+        if self.speculate:
+            k, S = self.speculate, self.max_seq_len
+            # cur/hlen/hist/prop/budget are donated: each needs its OWN
+            # buffer (donating one array twice is an execute-time error)
+            def z(*shape):
+                return jnp.zeros(shape or (B,), jnp.int32)
+
+            _, _, _, _, _, _, self.cache = self._spec_prog(
+                self.params, self.cache, z(), z(), z(B, S), z(B, k),
+                z(), active, keys, temps, tops, k=self.speculate,
+            )
+
+        # 4. paged suffix prefill (prefix-cache hit path) + its batch-1
+        # first-token sampler, at the single-bucket suffix shape
+        if self.paged and self._prefix is not None:
+            Tb = self.prefill_bucket
+            toks = np.zeros((1, Tb), np.int32)
+            seg = np.zeros((1, Tb), np.int32)
+            toks[0, :8] = 1
+            seg[0, :8] = 1
+            pages_vec = jnp.zeros((maxp,), jnp.int32)
+            last_logits, self.cache = self._prefill_suffix(
+                self.params, self.cache, jnp.int32(0), pages_vec,
+                jnp.int32(2 * self.page_size), jnp.int32(self.page_size),
+                jnp.asarray(toks), jnp.asarray(seg),
+            )
+            self._first_sample(
+                last_logits, keys[:1],
+                jnp.zeros((1,), jnp.float32), jnp.ones((1,), jnp.float32),
+            )
+
+        np.asarray(jax.device_get(self.tokens))  # retire every compile
+        self.warmup_s = time.perf_counter() - t0
+        logger.info(
+            f"warmup: program set compiled in {self.warmup_s:.1f}s "
+            f"(prompt bucket for len {prompt_len}, image={image}, "
+            f"batch sizes {self._prefill_batch_sizes()})"
+        )
+        return self.warmup_s
 
     @property
     def num_active(self) -> int:

@@ -80,7 +80,7 @@ class JaxBackend:
                  pool_tokens: Optional[int] = None,
                  rope_scaling: Optional[str] = None,
                  speculate: int = 0, prefix_cache: bool = True,
-                 stream_interval: int = 1):
+                 stream_interval: int = 1, warmup_len: int = 0):
         from llava_plus_tpu.models.builder import load_pretrained_model
 
         self.stream_interval = max(int(stream_interval or 1), 1)
@@ -153,6 +153,14 @@ class JaxBackend:
             mesh=mesh,
         )
         self.is_multimodal = "llava" in (model_name or model_path).lower()
+        if self.engine is not None and warmup_len:
+            # compile the full program set BEFORE registering with the
+            # controller: the first requests routed here must not pay
+            # multi-second XLA compiles (the reference's torch eager path
+            # has no compile step to pay, ref llava/serve/model_worker.py)
+            self.engine.warmup(
+                prompt_len=warmup_len, image=self.is_multimodal
+            )
 
     def generate_stream(self, params: dict) -> Iterator[str]:
         import numpy as np
@@ -517,6 +525,12 @@ def main():
     parser.add_argument("--speculate", type=int, default=0,
                         help="prompt-lookup speculative decoding: propose N "
                              "tokens per step (greedy streams; exact)")
+    parser.add_argument("--warmup", type=int, default=768, metavar="LEN",
+                        help="compile the engine's full program set at "
+                             "startup for prompts of ~LEN fused tokens "
+                             "(576 image + text), before registering with "
+                             "the controller; 0 disables (first requests "
+                             "then pay the XLA compiles)")
     parser.add_argument("--stream-interval", type=int, default=1,
                         help="push every Nth streamed update (ref flag)")
     parser.add_argument("--device", type=str, default=None,
@@ -558,6 +572,7 @@ def main():
             speculate=args.speculate,
             prefix_cache=not args.no_prefix_cache,
             stream_interval=args.stream_interval,
+            warmup_len=args.warmup,
         )
         model_names = [name]
 

@@ -104,6 +104,14 @@ def main():
         res[mode] = run(mode, args, built)
     if len(res) == 2:
         print(f"batched-eval speedup: {res['engine'] / res['single']:.2f}x")
+        import json
+
+        print("RESULT " + json.dumps({
+            "single_q_s": round(res["single"], 3),
+            "engine_q_s": round(res["engine"], 3),
+            "slots": args.slots,
+            "speedup": round(res["engine"] / res["single"], 3),
+        }), flush=True)
 
 
 if __name__ == "__main__":

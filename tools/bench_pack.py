@@ -114,6 +114,13 @@ def main():
     if len(res) == 2:
         print(f"packing speedup on real tokens: "
               f"{res['packed'] / res['padded']:.2f}x")
+        import json
+
+        print("RESULT " + json.dumps({
+            "padded_real_tok_s": round(res["padded"], 1),
+            "packed_real_tok_s": round(res["packed"], 1),
+            "speedup": round(res["packed"] / res["padded"], 3),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -101,6 +101,13 @@ def main():
         off = statistics.median(results["off"])
         print(f"multi-turn TTFT p50: {on*1e3:.0f} ms with reuse vs "
               f"{off*1e3:.0f} ms without ({off/on:.1f}x)")
+        import json
+
+        print("RESULT " + json.dumps({
+            "reuse_ttft_p50_ms": round(on * 1e3, 1),
+            "noreuse_ttft_p50_ms": round(off * 1e3, 1),
+            "speedup": round(off / on, 2),
+        }), flush=True)
 
 
 if __name__ == "__main__":

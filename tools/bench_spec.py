@@ -11,6 +11,7 @@ Usage: python tools/bench_spec.py [--spec 4] [--new 128]
 """
 
 import argparse
+import json
 import sys
 import time
 from pathlib import Path
@@ -78,10 +79,15 @@ def main():
         n, dt, acc = run(args.only, args.new)
         print(f"  spec={args.only}: {n} tokens in {dt:.2f}s = "
               f"{n/dt:.1f} tok/s (acceptance {acc:.2f})", flush=True)
+        print("RESULT " + json.dumps({
+            "mode": args.only, "tokens": n, "seconds": round(dt, 2),
+            "tok_s": round(n / dt, 2), "acceptance": round(acc, 2),
+        }), flush=True)
         return
 
     # one engine per process (single 16 GB chip)
     import subprocess
+    results = {}
     for mode in (0, args.spec):
         proc = subprocess.run(
             [sys.executable, __file__, "--only", str(mode),
@@ -91,6 +97,18 @@ def main():
         out = [l for l in proc.stdout.splitlines() if l.startswith("  ")]
         print(out[-1] if out else f"spec={mode} FAILED\n{proc.stderr[-800:]}",
               flush=True)
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                results["plain" if mode == 0 else f"spec{mode}"] = (
+                    json.loads(line[7:]))
+    if len(results) == 2:
+        plain, spec = results["plain"], results[f"spec{args.spec}"]
+        print("RESULT " + json.dumps({
+            "plain_tok_s": plain["tok_s"],
+            "spec_tok_s": spec["tok_s"],
+            "acceptance": spec["acceptance"],
+            "speedup": round(spec["tok_s"] / plain["tok_s"], 3),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,94 @@
+"""Measurement dossier: run every on-chip feature bench serially (ONE
+process owns the tunneled TPU at a time) and write the results to
+CHIPBENCH.json at the repo root — a COMMITTED artifact, so every feature
+paragraph in the README cites a number of record instead of a log in
+/tmp (VERDICT r3 items 2/3/4).
+
+Stages (each is an independent subprocess; a failure is recorded, never
+fatal):
+  spec    tools/bench_spec.py    device-resident speculation vs plain
+  pack    tools/bench_pack.py    packed vs padded train real-tok/s
+  eval    tools/bench_eval.py    batched eval questions/s vs single
+  prefix  tools/bench_prefix.py  multi-turn TTFT with/without page reuse
+  int8f   bench.py -int8f        fused-qkv/gateup int8 decode verdict
+  paged24 bench.py --paged b24   paged-pool occupancy-24 engine headline
+
+Usage: python tools/chipbench.py [stage ...]   (default: all)
+"""
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+OUT = ROOT / "CHIPBENCH.json"
+
+STAGES = [
+    ("spec", [sys.executable, "tools/bench_spec.py"], 3600),
+    ("pack", [sys.executable, "tools/bench_pack.py"], 2400),
+    ("eval", [sys.executable, "tools/bench_eval.py"], 3000),
+    ("prefix", [sys.executable, "tools/bench_prefix.py"], 3000),
+    ("int8f", [sys.executable, "bench.py", "--model", "llava-1.5-7b-int8f",
+               "--batch", "16", "--kv-int8"], 2400),
+    ("paged24", [sys.executable, "bench.py", "--model", "llava-1.5-7b-int8",
+                 "--batch", "24", "--kv-int8", "--paged"], 2700),
+]
+
+
+def parse_result(stdout: str):
+    """Last machine-readable line: 'RESULT {json}' (feature tools) or a
+    bare JSON object line (bench.py)."""
+    result = None
+    for line in stdout.splitlines():
+        if line.startswith("RESULT "):
+            result = json.loads(line[len("RESULT "):])
+        elif line.startswith("{"):
+            try:
+                result = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    return result
+
+
+def main():
+    only = set(sys.argv[1:])
+    stages = {}
+    for name, cmd, tmo in STAGES:
+        if only and name not in only:
+            continue
+        print(f"=== {name}: {' '.join(cmd[1:])}", flush=True)
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                cmd, cwd=ROOT, capture_output=True, text=True, timeout=tmo,
+            )
+            rc, out, err = proc.returncode, proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as e:
+            rc = -1
+            out = (e.stdout or b"").decode() if isinstance(
+                e.stdout, bytes) else (e.stdout or "")
+            err = f"timeout after {tmo}s"
+        stages[name] = {
+            "rc": rc,
+            "seconds": round(time.time() - t0, 1),
+            "result": parse_result(out),
+            "tail": "\n".join((out or err).splitlines()[-6:]),
+        }
+        print(json.dumps({name: stages[name]["result"]}), flush=True)
+
+    existing = {}
+    if OUT.exists() and only:
+        # partial re-runs update stages in place
+        existing = json.loads(OUT.read_text()).get("stages", {})
+    existing.update(stages)
+    OUT.write_text(json.dumps(
+        {"chip": "tpu-v5e (1 chip, tunneled)", "stages": existing},
+        indent=1,
+    ) + "\n")
+    print(f"wrote {OUT}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
