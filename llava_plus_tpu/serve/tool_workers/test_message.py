@@ -53,8 +53,12 @@ def main():
     parser.add_argument("--worker-address", type=str, default=None)
     parser.add_argument("--tool", type=str, required=True,
                         choices=sorted(CANNED_PARAMS))
-    parser.add_argument("--image", type=str, default=None)
-    parser.add_argument("--send-image", action="store_true", default=True)
+    parser.add_argument("--image", type=str, default=None,
+                        help="image file to send; default: a deterministic "
+                             "generated demo scene (no external files "
+                             "needed — utils/demo_assets.py)")
+    parser.add_argument("--no-image", action="store_true",
+                        help="send no image at all")
     args = parser.parse_args()
 
     worker_addr = args.worker_address
@@ -72,6 +76,10 @@ def main():
     payload = dict(CANNED_PARAMS[args.tool])
     if args.image:
         payload["image"] = encode_image(args.image)
+    elif not args.no_image:
+        from llava_plus_tpu.utils.demo_assets import demo_image_b64
+
+        payload["image"] = demo_image_b64("cat")
 
     tic = time.time()
     resp = requests.post(

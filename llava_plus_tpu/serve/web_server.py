@@ -315,33 +315,15 @@ def _apply_process_mode(image, mode: str):
 def _example_prompts():
     """Two demo (image, prompt) pairs, mirroring the reference UI's
     gr.Examples (gradio_web_server.py:333-336). The reference bundles
-    photographs; here the images are drawn procedurally so the repo stays
-    binary-free — the point is the one-click demo flow, not the pixels."""
-    import base64
-    import io
+    photographs; here the images are drawn procedurally
+    (utils/demo_assets.py) so the repo stays binary-free — the point is
+    the one-click demo flow, not the pixels."""
+    from llava_plus_tpu.utils.demo_assets import demo_image_b64
 
-    from PIL import Image, ImageDraw
-
-    def b64(im):
-        buf = io.BytesIO()
-        im.save(buf, format="PNG")
-        return base64.b64encode(buf.getvalue()).decode()
-
-    # scene 1: red circle balanced on a blue box ("what is unusual")
-    im1 = Image.new("RGB", (336, 336), (236, 240, 246))
-    d = ImageDraw.Draw(im1)
-    d.rectangle([40, 290, 296, 320], fill=(90, 90, 90))          # road
-    d.rectangle([120, 180, 216, 290], fill=(60, 90, 200))        # box
-    d.ellipse([138, 100, 198, 160], fill=(200, 60, 60))          # ball on top
-    # scene 2: lake with a warning sign ("what should I be cautious about")
-    im2 = Image.new("RGB", (336, 336), (205, 228, 245))
-    d = ImageDraw.Draw(im2)
-    d.rectangle([0, 210, 336, 336], fill=(70, 130, 180))          # water
-    d.polygon([(60, 120), (110, 200), (10, 200)], fill=(240, 200, 50))
-    d.text((48, 150), "!", fill=(0, 0, 0))
     return [
-        {"image": b64(im1), "text": "What is unusual about this image?"},
-        {"image": b64(im2),
+        {"image": demo_image_b64("unusual"),
+         "text": "What is unusual about this image?"},
+        {"image": demo_image_b64("waterview"),
          "text": "What are the things I should be cautious about "
                  "when I visit here?"},
     ]
