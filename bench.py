@@ -270,6 +270,11 @@ def run_paged_engine(model_name: str, slots: int, kv_int8: bool = True):
         paged=True, page_size=page_size,
         pool_tokens=slots * per_req_pages * page_size,
         prefix_cache=False,  # distinct images per request; pure occupancy
+        # at 24+ slots the pool (~6.6 GB) + int8 weights (~7 GB) leave
+        # <2 GB for prefill transients; half-size admission batches keep
+        # the pipelined prefill-ahead (up to 4 bucket caches) inside it.
+        # Throughput is decode-dominated; the slower ramp is noise.
+        prefill_batch=2 if slots >= 24 else 4,
     )
     try:
         warmup_s = eng.warmup(prompt_len=PREFILL_LEN)

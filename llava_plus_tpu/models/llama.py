@@ -87,14 +87,24 @@ class PagedKVCache:
     """Paged KV cache: one combined page pool + per-slot page tables
     (the BASELINE north star's "paged-KV continuous-batched decode").
 
-    kv: [L, Np, 2, Hkv, P, Dh] — dim 2 selects K (0) / V (1). One page is
-    a contiguous [2, Hkv, P, Dh] block: the unit the Pallas paged-decode
+    kv: [L, Np, 2, P, Hkv, Dh] — dim 2 selects K (0) / V (1). One page is
+    a contiguous [2, P, Hkv, Dh] block: the unit the Pallas paged-decode
     kernel DMAs from HBM (ops/paged_attention.py), carrying BOTH k and v
     for ALL heads so one async copy serves the whole attention block.
+    Token-major WITHIN the page (P above Hkv) so one token's [Hkv, Dh]
+    block is contiguous: the deferred-write scatter's preferred layout is
+    then exactly XLA's default layout. With heads-major pages the TPU
+    scatter emitter demands layout {5,3,4,2,1,0} while the pallas kernel
+    pins the default — XLA reconciled them with TWO whole-pool relayout
+    copies inside every decode step (6 GB of HLO temp + ~12 GB of HBM
+    copy traffic per step at a 24-slot 7B pool; measured on v5e, round 4).
     page_table: [B, max_pages] int32 per-layer page ids per serving slot
     (the same id addresses page l*Np + id of the flattened pool in layer
     l); seg: [B, max_pages*P] dense segment ids by logical position.
-    int8 pools carry per-(token, head) scales kv_scale [L, Np, 2, Hkv, P].
+    int8 pools carry per-(token, head) scales kv_scale [L, Np, 2, Hkv, P]
+    — scales stay HEAD-major: their page slice needs a lane-aligned minor
+    dim for the kernel's DMA (P = 128; Hkv alone is not), and the ~2 x
+    scale-pool relayout the scatter then costs is ~3% of the kv pool's.
 
     Unlike the dense :class:`KVCache` (slot = fixed max_len stripe), pool
     pages are allocated per request for prompt_len + budget, so long
@@ -119,7 +129,7 @@ class PagedKVCache:
         # cfg is LlamaConfig or MptConfig (both decoders share the pool)
         n_layers = getattr(cfg, "num_hidden_layers", None) or cfg.n_layers
         kv_heads = getattr(cfg, "num_key_value_heads", None) or cfg.kv_heads
-        shape = (n_layers, num_pages, 2, kv_heads, page_size, cfg.head_dim)
+        shape = (n_layers, num_pages, 2, page_size, kv_heads, cfg.head_dim)
         quantized = dtype == jnp.int8
         return cls(
             kv=jnp.zeros(shape, dtype),
@@ -127,13 +137,14 @@ class PagedKVCache:
             page_table=jnp.zeros((batch, max_pages_per_slot), jnp.int32),
             alloc=jnp.full((batch,), max_pages_per_slot * page_size,
                            jnp.int32),
-            kv_scale=(jnp.zeros(shape[:-1], jnp.float32)
-                      if quantized else None),
+            kv_scale=(jnp.zeros(
+                (n_layers, num_pages, 2, kv_heads, page_size), jnp.float32
+            ) if quantized else None),
         )
 
     @property
     def page_size(self) -> int:
-        return self.kv.shape[4]
+        return self.kv.shape[3]
 
     @property
     def num_pages(self) -> int:
@@ -179,7 +190,7 @@ def _paged_write_all(pool, scales, stage_k, stage_v, stage_sk, stage_sv,
                      pages, offsets, valid):
     """Write staged stage_k/stage_v [L,B,T,Hkv,D] (every layer's current
     chunk, already quantized when the pool is int8) into the
-    [L,Np,2,Hkv,P,D] pool in ONE scatter per tensor.
+    [L,Np,2,P,Hkv,D] pool in ONE scatter per tensor.
 
     Deferred from the layer scan: a scatter's operand is the multi-GB pool,
     and per-layer scatters cost far more than the attention they feed (the
@@ -202,12 +213,15 @@ def _paged_write_all(pool, scales, stage_k, stage_v, stage_sk, stage_sv,
         sel = jnp.full((L, B, T), kv_sel, jnp.int32)
         return jnp.stack([lay, pages, sel, offsets], axis=-1).reshape(N, 4)
 
-    # operand [L, Np, 2, Hkv, P, D]: indices address dims (0,1,2,4),
-    # window (Hkv, D) maps to dims (3, 5)
+    # operand [L, Np, 2, P, Hkv, D]: indices address dims (0,1,2,3);
+    # the (Hkv, D) window maps to the two MINOR-MOST dims (4, 5) — the
+    # TPU scatter emitter's required layout is then the default layout
+    # (window dims minor and contiguous), so no whole-pool relayout
+    # copies appear around the scatter (see PagedKVCache docstring)
     def put(pool, vals, kv_sel):
         return _paged_scatter(
             pool, idx4(kv_sel), vals.reshape(N, Hkv, D),
-            window_dims=(1, 2), operand_dims=(0, 1, 2, 4),
+            window_dims=(1, 2), operand_dims=(0, 1, 2, 3),
         )
 
     pool = put(pool, stage_k, 0)
@@ -215,7 +229,10 @@ def _paged_write_all(pool, scales, stage_k, stage_v, stage_sk, stage_sv,
     if scales is None:
         return pool, None
 
-    # scales operand [L, Np, 2, Hkv, P]: window (Hkv,) maps to dim 3
+    # scales operand [L, Np, 2, Hkv, P] (head-major, see PagedKVCache):
+    # indices address dims (0,1,2,4), window (Hkv,) maps to dim 3. The
+    # scatter emitter relayouts the scale pool around this write (window
+    # not minor-most), but the scale pool is 1/(2*D) the kv pool's bytes.
     def put_s(scales, vals, kv_sel):
         return _paged_scatter(
             scales, idx4(kv_sel), vals.reshape(N, Hkv),
@@ -395,7 +412,7 @@ def _paged_layer_attention(
 ):
     """Decode/continuation attention over the paged pool for one layer.
 
-    ``kv_all`` is the FULL stacked pool [L, Np, 2, Hkv, P, Dh] (closed
+    ``kv_all`` is the FULL stacked pool [L, Np, 2, P, Hkv, Dh] (closed
     over by the scan — it is never written inside it); the layer is
     addressed by offsetting page ids into the flattened [L*Np, ...] view —
     a [B, maxp] int32 add — instead of slicing a multi-GB array per layer.
@@ -512,7 +529,7 @@ def _layer_forward(
     k = apply_rope(k, cos, sin)
 
     if layer_cache is not None and paged_info is not None:
-        # Paged cache: the combined pool [L,Np,2,Hkv,P,Dh] is a read-only
+        # Paged cache: the combined pool [L,Np,2,P,Hkv,Dh] is a read-only
         # closure of the scan; this layer's k/v are STAGED (returned as
         # scan ys) and written to the pool once per step, after the scan.
         # Attention covers pool (past tokens) + the current chunk directly.
@@ -753,7 +770,12 @@ def decoder_forward(
 
 
 def lm_head(params, cfg: LlamaConfig, hidden: jax.Array) -> jax.Array:
-    """Project hidden states to fp32 logits (vocab dim tp-sharded)."""
+    """Project hidden states to fp32 logits (vocab dim tp-sharded).
+
+    The fp32 ``preferred_element_type`` does NOT leak f32 cotangents into
+    the decoder backward: jax's dot transpose casts the cotangent back to
+    the primal dtype (bf16) at this boundary (verified on the grad jaxpr,
+    round 4), so the backward runs at the MXU's bf16 rate throughout."""
     if cfg.tie_word_embeddings:
         logits = jnp.dot(
             hidden, params["embed_tokens"].T,

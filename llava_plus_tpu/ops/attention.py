@@ -136,21 +136,85 @@ def attention(
         impl = "pallas" if _can_use_pallas(q, k, bias, q_positions) else "xla"
     if impl == "pallas":
         from llava_plus_tpu.ops.flash_attention import flash_attention
+        from llava_plus_tpu.parallel.mesh import active_mesh
 
-        return flash_attention(
-            q, k, v,
-            causal=causal,
-            bias=bias,
-            q_segment_ids=q_segment_ids,
-            kv_segment_ids=kv_segment_ids,
-            softmax_scale=softmax_scale,
-        )
+        mesh = active_mesh()
+        if mesh is not None and mesh.devices.size > 1:
+            # pallas_call has no GSPMD partitioning rule: under a live
+            # multi-device mesh the kernel must be explicitly shard_mapped
+            # (batch over dp/fsdp, heads over tp; attention is pointwise
+            # in both, so no collectives). Without this, compiling the
+            # train step for a REAL TPU topology fails with "Mosaic
+            # kernels cannot be automatically partitioned" — the virtual
+            # CPU mesh never catches it because the kernel falls back to
+            # the XLA reference off-TPU (found via v5e:2x4 chipless AOT
+            # compile, round 4).
+            wrapped = _shard_mapped_flash(mesh, q, k, causal, softmax_scale)
+            if wrapped is not None:
+                return wrapped(q, k, v, q_segment_ids, kv_segment_ids)
+            impl = "xla"  # unshardable shape (heads/batch not divisible)
+        else:
+            return flash_attention(
+                q, k, v,
+                causal=causal,
+                bias=bias,
+                q_segment_ids=q_segment_ids,
+                kv_segment_ids=kv_segment_ids,
+                softmax_scale=softmax_scale,
+            )
     return xla_attention(
         q, k, v,
         causal=causal, bias=bias,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
         q_positions=q_positions, kv_positions=kv_positions,
         softmax_scale=softmax_scale,
+    )
+
+
+def _shard_mapped_flash(mesh, q, k, causal, softmax_scale):
+    """Build a shard_mapped flash-attention caller for ``mesh``, or None
+    when the shapes don't divide the mesh (caller falls back to XLA).
+
+    Per-shard work is independent — batch shards over the data axes,
+    heads over tp — so the body is the plain kernel with no collectives.
+    The input specs match the activation constraints `_layer_forward`
+    already pins (batch, None, "tp", None), so no resharding is inserted.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from llava_plus_tpu.ops.flash_attention import flash_attention
+
+    names = {a: n for a, n in zip(mesh.axis_names, mesh.devices.shape)}
+    batch_axes = tuple(a for a in ("dp", "fsdp") if names.get(a, 1) > 1)
+    tp = "tp" if names.get("tp", 1) > 1 else None
+    data_ways = 1
+    for a in batch_axes:
+        data_ways *= names[a]
+    tp_ways = names.get("tp", 1) if tp else 1
+    B, _, H, _ = q.shape
+    Hkv = k.shape[2]
+    if B % data_ways or H % tp_ways or Hkv % tp_ways:
+        return None
+    bspec = batch_axes if batch_axes else None
+    qkv = P(bspec, None, tp, None)
+    # None args (no segments) carry no leaves; the spec is then unused
+    seg = P(bspec, None)
+
+    def body(q, k, v, q_seg, kv_seg):
+        return flash_attention(
+            q, k, v, causal=causal,
+            q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+            softmax_scale=softmax_scale,
+        )
+
+    # check_vma=False: the kernel's custom_vjp residuals don't carry
+    # varying-mesh-axis metadata; every operand is explicitly sharded, so
+    # the replication check adds nothing here
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(qkv, qkv, qkv, seg, seg),
+        out_specs=qkv,
+        check_vma=False,
     )
 
 

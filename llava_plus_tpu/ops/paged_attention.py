@@ -2,7 +2,7 @@
 
 The paged half of the L0 kernel surface (BASELINE north star: "paged-KV
 continuous-batched decode"). The KV cache lives in HBM as one combined pool
-``kv_pages [NP, 2, Hkv, P, D]`` (dim 1: 0 = K, 1 = V) and never transits
+``kv_pages [NP, 2, P, Hkv, D]`` (dim 1: 0 = K, 1 = V) and never transits
 VMEM wholesale: the kernel manually DMAs only the pages a slot actually
 uses into a double-buffered VMEM scratch, prefetching the next block's
 pages while computing the current one (the structure production TPU paged
@@ -32,9 +32,18 @@ current one.
 
 Layouts
 - q [B, 1, H, D] (decode: one token per slot); GQA G = H // Hkv
-- kv_pages [NP, 2, Hkv, P, D] bf16 or int8; one page = contiguous
-  [2, Hkv, P, D] block (the DMA unit)
-- kv_scale [NP, 2, Hkv, P] f32 when int8 (per-token, per-head scales)
+- kv_pages [NP, 2, P, Hkv, D] bf16 or int8; one page = contiguous
+  [2, P, Hkv, D] block (the DMA unit). Token-major within the page (P
+  above Hkv): the decoder's deferred-write scatter then prefers XLA's
+  DEFAULT layout (its (Hkv, D) windows are the minor dims), matching
+  what this kernel requires — with heads-major pages the TPU scatter
+  emitter instead demanded {5,3,4,2,1,0} and XLA inserted two whole-pool
+  relayout copies into every decode step (measured: 6 GB HLO temp +
+  ~12 GB/step of copy traffic on a 24-slot 7B pool, v5e round 4)
+- kv_scale [NP, 2, Hkv, P] f32 when int8 (per-token, per-head scales).
+  Scales stay HEAD-major: Mosaic DMA needs a lane-aligned (128) minor
+  dim on the per-page slice — P qualifies, Hkv alone does not — and the
+  scatter relayout this costs is on 1/(2*D)th of the kv pool's bytes
 - page_ids [B, maxp] int32 flat page ids; lengths [B] int32 past tokens
 - cur_k / cur_v [B, 1, Hkv, D] current token (attended, not yet written)
 """
@@ -93,12 +102,16 @@ def _kernel(
     curk_ref,               # [1, Tq, Hkv, D]
     curv_ref,               # [1, Tq, Hkv, D]
     slopes_ref,             # [Hkv, G*Tq] ALiBi slopes (zeros if unused)
-    pool_ref,               # [NP, 2, Hkv, P, D] in HBM (ANY)
-    scale_ref,              # [NP, 2, Hkv, P] in HBM (ANY) or dummy
+    pool_ref,               # [NP, 2, P, Hkv, D] in HBM (ANY)
+    scale_ref,              # [NP, 2, Hkv, P] in HBM (ANY) or dummy —
+    #                         scales stay HEAD-major: a token-major
+    #                         [.., P, Hkv] page slice has minor dim
+    #                         Hkv < 128, which Mosaic cannot DMA (lane
+    #                         tiling); head-major keeps P minor (aligned)
     # outputs
     o_ref,                  # [1, Hkv, G*Tq, D]
     # scratch
-    kv_bufs,                # [2, ppcb, 2, Hkv, P, D] VMEM
+    kv_bufs,                # [2, ppcb, 2, P, Hkv, D] VMEM
     scale_bufs,             # [2, ppcb, 2, Hkv, P] VMEM
     sems,                   # [2] DMA semaphores
     m_s, l_s, acc_s,        # [Hkv, G*Tq, 128] x2, [Hkv, G*Tq, D]
@@ -114,8 +127,13 @@ def _kernel(
     has_alibi: bool,
 ):
     b, blk = pl.program_id(0), pl.program_id(1)
-    NP, _, Hkv, P, D = pool_ref.shape
+    NP, _, P, Hkv, D = pool_ref.shape
     T = ppcb * P
+    # compute dtype for the dots: int8 pool values are EXACTLY
+    # representable in bf16 (8 mantissa bits >= 7-bit magnitudes), and the
+    # MXU runs bf16 at 4x its f32 rate with f32 accumulation either way;
+    # f32 pools (CPU tests) keep full precision
+    ct = (jnp.float32 if pool_ref.dtype == jnp.float32 else jnp.bfloat16)
 
     @pl.when((b == 0) & (blk == 0))
     def _init_smem():
@@ -164,18 +182,25 @@ def _kernel(
 
         copy_for(b, blk, slot).wait()
 
-        q = q_ref[0].astype(jnp.float32)                    # [Hkv, G, D]
-        # leading-dim moves + trailing merges only: layout-preserving
-        k = kv_bufs[slot, :, 0]                             # [ppcb, Hkv, P, D]
-        v = kv_bufs[slot, :, 1]
-        k = k.transpose(1, 0, 2, 3).reshape(Hkv, T, D).astype(jnp.float32)
-        v = v.transpose(1, 0, 2, 3).reshape(Hkv, T, D).astype(jnp.float32)
+        q = q_ref[0].astype(ct)                             # [Hkv, G, D]
+        # token-major pages: merge (ppcb, P) -> T free, then move Hkv to
+        # the batch position for the per-head dots. The transpose is a
+        # real VMEM relayout (Hkv crosses the sublane dim) — at bf16 it
+        # shuffles 2 x T*Hkv*D*2 bytes per block, far below the ~2 x
+        # pool-size HBM relayout the heads-major pool cost per step
+        # (see module docstring).
+        k = kv_bufs[slot, :, 0].reshape(T, Hkv, D).astype(ct)
+        v = kv_bufs[slot, :, 1].reshape(T, Hkv, D).astype(ct)
+        k = k.transpose(1, 0, 2)                            # [Hkv, T, D]
+        v = v.transpose(1, 0, 2)
 
         scores = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                                   # [Hkv, G, T]
         if quantized:
+            # head-major scale pages: leading-dim move + trailing merge
+            # only (layout-preserving)
             ks = scale_bufs[slot, :, 0].transpose(1, 0, 2).reshape(Hkv, T)
             scores = scores * ks[:, None, :]
         scores = scores * sm_scale
@@ -213,7 +238,7 @@ def _kernel(
         l_s[...] = l_new
 
         pv = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
+            p.astype(ct), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                                   # [Hkv, G, D]
         acc_prev = jnp.where(
@@ -229,9 +254,9 @@ def _kernel(
                 # position length + j; query g*n_cur + t attends chunk
                 # entries j <= t (causal within the chunk), j < valid count
                 G2 = q_ref.shape[2]                         # G * n_cur
-                qf = q_ref[0].astype(jnp.float32)           # [Hkv, G2, D]
-                ck = curk_ref[0].transpose(1, 0, 2).astype(jnp.float32)
-                cv = curv_ref[0].transpose(1, 0, 2).astype(jnp.float32)
+                qf = q_ref[0].astype(ct)                    # [Hkv, G2, D]
+                ck = curk_ref[0].transpose(1, 0, 2).astype(ct)
+                cv = curv_ref[0].transpose(1, 0, 2).astype(ct)
                 # [Hkv, Tq, D] each
                 s_self = jax.lax.dot_general(
                     qf, ck, (((2,), (2,)), ((0,), (0,))),
@@ -260,7 +285,7 @@ def _kernel(
                     jnp.sum(p_self, axis=-1)[..., None], l_s.shape
                 )
                 pv_self = jax.lax.dot_general(
-                    p_self, cv, (((2,), (1,)), ((0,), (0,))),
+                    p_self.astype(ct), cv, (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )                                           # [Hkv, G2, D]
                 acc_fin = acc_s[...] * alpha_f[..., :1] + pv_self
@@ -275,10 +300,10 @@ def _kernel(
 
 def paged_decode_attention(
     q: jax.Array,            # [B, Tq, H, D] (Tq = 1 decode; > 1 verify)
-    kv_pages: jax.Array,     # [NP, 2, Hkv, P, D] bf16 or int8
+    kv_pages: jax.Array,     # [NP, 2, P, Hkv, D] bf16 or int8
     page_ids: jax.Array,     # [B, maxp] int32 (flat ids)
     lengths: jax.Array,      # [B] int32 past tokens per slot
-    kv_scale=None,           # [NP, 2, Hkv, P] f32 when int8
+    kv_scale=None,           # [NP, 2, Hkv, P] f32 when int8 (head-major)
     cur_k=None,              # [B, Tq, Hkv, D] current chunk (not in pool)
     cur_v=None,
     cur_valid=None,          # [B] int32 count of VALID chunk tokens
@@ -314,7 +339,7 @@ def paged_decode_attention(
         )
         return out.astype(q.dtype)
     B, Tq, H, D = q.shape
-    NP, two, Hkv, P, _ = kv_pages.shape
+    NP, two, P, Hkv, _ = kv_pages.shape
     assert two == 2, kv_pages.shape
     maxp = page_ids.shape[1]
     G = H // Hkv
@@ -350,8 +375,9 @@ def paged_decode_attention(
         slopes = jnp.zeros((Hkv, G2), jnp.float32)
 
     scratch = [
-        pltpu.VMEM((2, ppcb, 2, Hkv, P, D), kv_pages.dtype),
-        # always allocated (256 KB); only DMA'd into when quantized
+        pltpu.VMEM((2, ppcb, 2, P, Hkv, D), kv_pages.dtype),
+        # always allocated (256 KB); only DMA'd into when quantized.
+        # Head-major (see _kernel signature).
         pltpu.VMEM((2, ppcb, 2, Hkv, P), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.VMEM((Hkv, G2, 128), jnp.float32),
@@ -401,18 +427,22 @@ def paged_decode_attention(
 
 
 def gather_pages(kv_pages, page_ids, kv_scale=None, dtype=jnp.float32):
-    """[NP, 2, Hkv, P, D] pool -> dense k, v [B, S, Hkv, D] (XLA gather).
+    """[NP, 2, P, Hkv, D] pool -> dense k, v [B, S, Hkv, D] (XLA gather).
 
-    The CPU/test/multi-token path; S = maxp * P.
+    The CPU/test/multi-token path; S = maxp * P. Token-major pages make
+    this transpose-free: pages concatenate directly into the dense
+    [S, Hkv, D] order.
     """
     B, maxp = page_ids.shape
-    NP, _, Hkv, P, D = kv_pages.shape
-    g = kv_pages[page_ids]                      # [B, maxp, 2, Hkv, P, D]
+    NP, _, P, Hkv, D = kv_pages.shape
+    g = kv_pages[page_ids]                      # [B, maxp, 2, P, Hkv, D]
     g = g.astype(dtype)
     if kv_scale is not None:
-        g = g * kv_scale[page_ids][..., None]   # [B, maxp, 2, Hkv, P, 1]
+        # scales are head-major [NP, 2, Hkv, P] (see module docstring)
+        s = kv_scale[page_ids].transpose(0, 1, 2, 4, 3)
+        g = g * s[..., None]                    # [B, maxp, 2, P, Hkv, 1]
     # -> [2, B, S, Hkv, D]
-    g = g.transpose(2, 0, 1, 4, 3, 5).reshape(2, B, maxp * P, Hkv, D)
+    g = g.transpose(2, 0, 1, 3, 4, 5).reshape(2, B, maxp * P, Hkv, D)
     return g[0], g[1]
 
 
@@ -428,7 +458,7 @@ def paged_attention_reference(
     from llava_plus_tpu.ops.attention import xla_attention
 
     B, Tq = q.shape[:2]
-    P = kv_pages.shape[3]
+    P = kv_pages.shape[2]
     maxp = page_ids.shape[1]
     k, v = gather_pages(kv_pages, page_ids, kv_scale)
 

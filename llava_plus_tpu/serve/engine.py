@@ -459,11 +459,14 @@ class BatchedEngine:
             n1 = S1 // P
 
             def chunks(single, trailing):
+                # dense stripe [L, S1, Hkv, tr] -> paged [L, n1, P, Hkv,
+                # tr]: the token-major pool layout makes this a pure
+                # reshape (no transpose — one page is P contiguous
+                # [Hkv, tr] token blocks, same order as the dense cache)
                 stripe = jax.lax.dynamic_index_in_dim(
                     single, row, axis=1, keepdims=False
                 )
-                c = stripe.reshape(L, n1, P, Hkv, trailing)
-                return c.transpose(0, 1, 3, 2, 4)  # [L, n1, Hkv, P, tr]
+                return stripe.reshape(L, n1, P, Hkv, trailing)
 
             kv = cache.kv
             kv = kv.at[:, pages_vec[:n1], 0].set(
@@ -472,10 +475,15 @@ class BatchedEngine:
                 chunks(cache1.v, Dh).astype(kv.dtype))
             kv_scale = cache.kv_scale
             if kv_scale is not None:
+                # scale pages are HEAD-major [L, Np, 2, Hkv, P]
+                # (models/llama.py:PagedKVCache): [L, n1, P, Hkv] -> swap
+                def schunks(single):
+                    return chunks(single, 1)[..., 0].transpose(0, 1, 3, 2)
+
                 kv_scale = kv_scale.at[:, pages_vec[:n1], 0].set(
-                    chunks(cache1.k_scale, 1)[..., 0])
+                    schunks(cache1.k_scale))
                 kv_scale = kv_scale.at[:, pages_vec[:n1], 1].set(
-                    chunks(cache1.v_scale, 1)[..., 0])
+                    schunks(cache1.v_scale))
 
             seg_row = jnp.zeros((cache.seg.shape[1],), jnp.int32)
             seg_row = jax.lax.dynamic_update_slice(

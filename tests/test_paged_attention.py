@@ -35,16 +35,17 @@ def _setup(B=3, H=4, Hkv=2, D=128, maxp=4, n_extra_pages=3, seed=0,
     perm = rng.permutation(Np)
     page_table = perm[: B * maxp].reshape(B, maxp).astype(np.int32)
 
-    kv_pages = rng.normal(size=(Np, 2, Hkv, P, D)).astype(np.float32)
+    kv_pages = rng.normal(size=(Np, 2, P, Hkv, D)).astype(np.float32)
     q = rng.normal(size=(B, 1, H, D)).astype(np.float32)
 
     kv_scale = None
     if quantized:
-        s = np.abs(kv_pages).max(axis=-1) / 127.0
+        s = np.abs(kv_pages).max(axis=-1) / 127.0   # [Np, 2, P, Hkv]
         kv_q = np.clip(
             np.round(kv_pages / s[..., None]), -127, 127
         ).astype(np.int8)
-        kv_pages, kv_scale = kv_q, s.astype(np.float32)
+        # scale pages are head-major [Np, 2, Hkv, P] (see ops docstring)
+        kv_pages, kv_scale = kv_q, s.transpose(0, 1, 3, 2).astype(np.float32)
 
     return (
         jnp.asarray(q), jnp.asarray(kv_pages), jnp.asarray(page_table),

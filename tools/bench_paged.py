@@ -127,16 +127,17 @@ def verify_kernel():
         Np = B * maxp + 3
         lengths = rng.integers(0, maxp * P, size=B)
         pt = jnp.asarray(rng.integers(0, Np, size=(B, maxp)), jnp.int32)
-        kv = rng.normal(size=(Np, 2, Hkv, P, D)).astype(np.float32)
+        kv = rng.normal(size=(Np, 2, P, Hkv, D)).astype(np.float32)
         q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.bfloat16)
         ck = jnp.asarray(rng.standard_normal((B, 1, Hkv, D)), jnp.bfloat16)
         cv = jnp.asarray(rng.standard_normal((B, 1, Hkv, D)), jnp.bfloat16)
         valid = jnp.ones((B,), jnp.int32)
         scale = None
         if quant:
-            s = np.abs(kv).max(axis=-1) / 127.0
+            s = np.abs(kv).max(axis=-1) / 127.0     # [Np, 2, P, Hkv]
             kv = np.clip(np.round(kv / s[..., None]), -127, 127).astype(np.int8)
-            scale = jnp.asarray(s.astype(np.float32))
+            # head-major scale pages [Np, 2, Hkv, P]
+            scale = jnp.asarray(s.transpose(0, 1, 3, 2).astype(np.float32))
             kv = jnp.asarray(kv)
         else:
             kv = jnp.asarray(kv, jnp.bfloat16)

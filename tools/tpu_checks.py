@@ -196,15 +196,16 @@ def _paged_setup(seed, quantized, n_cur=1):
     rng = np.random.default_rng(seed)
     B, NP, Hkv, P, D, H = 4, 24, 4, 128, 128, 8
     maxp = 4
-    kv = rng.standard_normal((NP, 2, Hkv, P, D)).astype(np.float32)
+    kv = rng.standard_normal((NP, 2, P, Hkv, D)).astype(np.float32)
     pt = jnp.asarray(rng.permutation(NP)[: B * maxp].reshape(B, maxp)
                      .astype(np.int32))
     lengths = jnp.asarray([P * maxp - 3, 2 * P, 5, 0], jnp.int32)
     scale = None
     if quantized:
-        s = np.abs(kv).max(axis=-1) / 127.0 + 1e-8
+        s = np.abs(kv).max(axis=-1) / 127.0 + 1e-8  # [NP, 2, P, Hkv]
         kvq = np.clip(np.round(kv / s[..., None]), -127, 127).astype(np.int8)
-        scale = jnp.asarray(s.astype(np.float32))
+        # head-major scale pages [NP, 2, Hkv, P]
+        scale = jnp.asarray(s.transpose(0, 1, 3, 2).astype(np.float32))
         kv_dev = jnp.asarray(kvq)
     else:
         kv_dev = jnp.asarray(kv, jnp.bfloat16)
