@@ -86,28 +86,53 @@ def main():
     ap.add_argument("--mode", choices=["on", "off", "both"], default="both")
     args = ap.parse_args()
 
-    # one engine per process would be safer on a 16 GB chip, but the int8
-    # model (6.6 GB) + one 4-slot pool fits twice sequentially: the first
-    # engine is stopped and its buffers dropped before the second builds
-    results = {}
-    for mode in (["on", "off"] if args.mode == "both" else [args.mode]):
-        ttfts, hits = measure(mode == "on", args.turns)
-        results[mode] = ttfts
-        print(f"prefix={mode}: per-turn TTFT "
+    if args.mode != "both":
+        ttfts, hits = measure(args.mode == "on", args.turns)
+        print(f"prefix={args.mode}: per-turn TTFT "
               f"{[round(t, 3) for t in ttfts]} "
               f"p50={statistics.median(ttfts):.3f}s hit_tokens={hits}")
-    if len(results) == 2:
-        on = statistics.median(results["on"])
-        off = statistics.median(results["off"])
-        print(f"multi-turn TTFT p50: {on*1e3:.0f} ms with reuse vs "
-              f"{off*1e3:.0f} ms without ({off/on:.1f}x)")
         import json
 
         print("RESULT " + json.dumps({
-            "reuse_ttft_p50_ms": round(on * 1e3, 1),
-            "noreuse_ttft_p50_ms": round(off * 1e3, 1),
+            "mode": args.mode,
+            "ttft_p50_ms": round(statistics.median(ttfts) * 1e3, 1),
+            "hit_tokens": hits,
+        }), flush=True)
+        return
+
+    # ONE ENGINE PER PROCESS: 7B-int8 weights (~6.6 GB) + a paged pool
+    # twice in one process trips the 16 GB chip — JAX compilation caches
+    # and in-flight references keep the first engine's buffers alive past
+    # eng.stop() (the round-3 chipbench 'prefix' stage died exactly here).
+    import json
+    import subprocess
+
+    results = {}
+    for mode in ("on", "off"):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--mode", mode,
+             "--turns", str(args.turns)],
+            capture_output=True, text=True, timeout=3000,
+        )
+        shown = [l for l in proc.stdout.splitlines()
+                 if l.startswith("prefix=")]
+        print(shown[-1] if shown
+              else f"prefix={mode} FAILED\n{proc.stderr[-800:]}", flush=True)
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                results[mode] = json.loads(line[7:])
+    if len(results) == 2:
+        on = results["on"]["ttft_p50_ms"]
+        off = results["off"]["ttft_p50_ms"]
+        print(f"multi-turn TTFT p50: {on:.0f} ms with reuse vs "
+              f"{off:.0f} ms without ({off/on:.1f}x)")
+        print("RESULT " + json.dumps({
+            "reuse_ttft_p50_ms": on,
+            "noreuse_ttft_p50_ms": off,
             "speedup": round(off / on, 2),
         }), flush=True)
+    else:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

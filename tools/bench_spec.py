@@ -67,13 +67,109 @@ def run(speculate: int, new_tokens: int):
         eng.stop()
 
 
+def isolate(speculate: int = 4):
+    """Break the per-emitted-token cost of the device-resident spec
+    pipeline into its parts ON THE CHIP: the fused spec_step program
+    itself, the [B, k+2] result fetch, and the plain decode step for
+    comparison. Pinpoints whether a pathological spec number is device
+    compute, tunnel round-trips, or host loop overhead."""
+    from llava_plus_tpu.data.debug_tokenizer import DebugTokenizer
+    from llava_plus_tpu.models import llava as llava_model
+    from llava_plus_tpu.models.configs import LLAVA_15_7B
+    from llava_plus_tpu.ops.quant import quantize_llava_params
+    from llava_plus_tpu.serve.engine import BatchedEngine, Request
+
+    cfg = LLAVA_15_7B
+    params = llava_model.init_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.bfloat16)
+    params = quantize_llava_params(params, bits=8)
+    tok = DebugTokenizer(vocab_size=cfg.text.vocab_size)
+
+    rng = np.random.default_rng(0)
+    img = cfg.vision.image_size
+    prompt = "<image>\n" + " ".join(f"w{i % 24}" for i in range(160))
+
+    eng = BatchedEngine(
+        params, cfg, tok, max_slots=1, max_seq_len=2048,
+        prefill_bucket=256, cache_dtype=jnp.int8, speculate=speculate,
+    )
+    try:
+        warm = Request(prompt=prompt,
+                       images=rng.normal(size=(1, img, img, 3))
+                       .astype(np.float32),
+                       max_new_tokens=8, temperature=0.0)
+        eng.submit(warm)
+        while warm._chunks.get(timeout=900) is not None:
+            pass
+        # freeze the engine loop so we own the programs
+        eng._stop.set()
+        eng._thread.join(timeout=30)
+        if eng._prefill_thread is not None:
+            eng._prefill_thread.join(timeout=30)
+
+        res = {}
+
+        def timed(name, fn, reps=20):
+            fn()  # warm (compiles if needed)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                fn()
+            dt = (time.perf_counter() - t0) / reps
+            res[name] = round(dt * 1e3, 2)
+            print(f"  {name:24s} {dt*1e3:9.2f} ms", flush=True)
+
+        B, S, k = eng.max_slots, eng.max_seq_len, eng.speculate
+        z = lambda *sh: jnp.zeros(sh or (B,), jnp.int32)
+        keys = jnp.stack([jax.random.PRNGKey(0)] * B)
+        temps = jnp.zeros((B,), jnp.float32)
+        tops = jnp.ones((B,), jnp.float32)
+        active = jnp.ones((B,), bool)
+        positions = jnp.full((B,), 512, jnp.int32)
+
+        # 1. plain decode step, fetch one element to sync
+        def plain():
+            eng.tokens, eng.cache = eng._decode(
+                eng.params, eng.cache, eng.tokens, positions, active,
+                keys, temps, tops,
+            )
+            jax.device_get(eng.tokens.ravel()[0])
+        timed("decode_step+sync", plain)
+
+        # 2. fused spec step, sync on the small ret row
+        st = {"cur": z(), "hlen": jnp.full((B,), 512, jnp.int32),
+              "hist": z(B, S), "prop": z(B, k),
+              "budget": jnp.full((B,), 1 << 20, jnp.int32)}
+        def spec():
+            ret, st["cur"], st["hlen"], st["hist"], st["prop"], \
+                st["budget"], eng.cache = eng._spec_prog(
+                    eng.params, eng.cache, st["cur"], st["hlen"],
+                    st["hist"], st["prop"], st["budget"], active, keys,
+                    temps, tops, k=k,
+                )
+            jax.device_get(ret)
+        timed("spec_step+fetch", spec)
+
+        # 3. pure fetch RTT (tiny constant)
+        one = jnp.zeros((4,), jnp.int32)
+        timed("tiny_fetch_rtt", lambda: jax.device_get(one))
+        print("RESULT " + json.dumps(res), flush=True)
+    finally:
+        eng._stop.set()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--spec", type=int, default=4)
     p.add_argument("--new", type=int, default=128)
     p.add_argument("--only", type=int, default=None,
                    help="run a single mode (0=plain or k) in this process")
+    p.add_argument("--isolate", action="store_true",
+                   help="per-component timing of the spec pipeline")
     args = p.parse_args()
+
+    if args.isolate:
+        isolate(args.spec)
+        return
 
     if args.only is not None:
         n, dt, acc = run(args.only, args.new)

@@ -26,14 +26,21 @@ ROOT = Path(__file__).resolve().parents[1]
 OUT = ROOT / "CHIPBENCH.json"
 
 STAGES = [
-    ("spec", [sys.executable, "tools/bench_spec.py"], 3600),
-    ("pack", [sys.executable, "tools/bench_pack.py"], 2400),
-    ("eval", [sys.executable, "tools/bench_eval.py"], 3000),
-    ("prefix", [sys.executable, "tools/bench_prefix.py"], 3000),
-    ("int8f", [sys.executable, "bench.py", "--model", "llava-1.5-7b-int8f",
-               "--batch", "16", "--kv-int8"], 2400),
+    # paged occupancy first: decode cost/step ~= 12.5 ms scan tax +
+    # 8.2 ms weight stream + B x 0.27 ms KV read, so aggregate tok/s
+    # rises steeply with slots while the pool keeps HBM flat — the
+    # headline's most likely mover.
+    # paged32 does NOT fit: 32 slots x 8 pages x 128 tok x 270 KB/tok
+    # ~= 8.8 GB pool + ~7 GB int8 weights leaves nothing for prefill
+    # transients on the 16 GB chip.
     ("paged24", [sys.executable, "bench.py", "--model", "llava-1.5-7b-int8",
                  "--batch", "24", "--kv-int8", "--paged"], 2700),
+    ("spec", [sys.executable, "tools/bench_spec.py"], 3600),
+    ("prefix", [sys.executable, "tools/bench_prefix.py"], 3000),
+    ("pack", [sys.executable, "tools/bench_pack.py"], 2400),
+    ("eval", [sys.executable, "tools/bench_eval.py"], 3000),
+    ("int8f", [sys.executable, "bench.py", "--model", "llava-1.5-7b-int8f",
+               "--batch", "16", "--kv-int8"], 2400),
 ]
 
 
@@ -74,20 +81,27 @@ def main():
             "rc": rc,
             "seconds": round(time.time() - t0, 1),
             "result": parse_result(out),
-            "tail": "\n".join((out or err).splitlines()[-6:]),
+            "tail": "\n".join((err if rc != 0 else out).splitlines()[-8:]),
         }
         print(json.dumps({name: stages[name]["result"]}), flush=True)
+        if rc != 0:
+            print(f"--- {name} FAILED (rc={rc}):\n{stages[name]['tail']}",
+                  flush=True)
+        _write(stages)  # incremental: a later hang never loses this stage
 
+    print(f"wrote {OUT}", flush=True)
+
+
+def _write(stages):
     existing = {}
-    if OUT.exists() and only:
-        # partial re-runs update stages in place
+    if OUT.exists():
+        # re-runs update stages in place, keeping earlier results
         existing = json.loads(OUT.read_text()).get("stages", {})
     existing.update(stages)
     OUT.write_text(json.dumps(
         {"chip": "tpu-v5e (1 chip, tunneled)", "stages": existing},
         indent=1,
     ) + "\n")
-    print(f"wrote {OUT}", flush=True)
 
 
 if __name__ == "__main__":
