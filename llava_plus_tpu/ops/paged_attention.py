@@ -298,6 +298,173 @@ def _kernel(
                 ).astype(o_ref.dtype)
 
 
+def _kernel_decode1(
+    # scalar prefetch
+    lengths_ref,            # [B] PAST tokens per slot (pool-resident)
+    page_ids_ref,           # [B * maxp] flat
+    valid_ref,              # [B] 1 = live slot, 0 = dead
+    # inputs
+    q_ref,                  # [1, Hkv, 1, D] (block over b; G2 == 1)
+    curk_ref,               # [1, 1, Hkv, D]
+    curv_ref,               # [1, 1, Hkv, D]
+    slopes_ref,             # [Hkv, 1] ALiBi slopes (zeros if unused)
+    pool_ref,               # [NP, 2, P, Hkv, D] in HBM (ANY)
+    scale_ref,              # [NP, 2, Hkv, P] in HBM (ANY) or dummy
+    # outputs
+    o_ref,                  # [1, Hkv, 1, D]
+    # scratch
+    kv_bufs,                # [2, ppcb, 2, P, Hkv, D] VMEM
+    scale_bufs,             # [2, ppcb, 2, Hkv, P] VMEM
+    sems,                   # [2] DMA semaphores
+    m_s, l_s,               # [1, Hkv] f32 (LANE-oriented running max/sum)
+    acc_s,                  # [Hkv, 1, D] f32
+    buf_idx_ref,            # [1] SMEM: double-buffer index
+    flag_ref,               # [1] SMEM: first-iteration flag
+    *,
+    sm_scale: float,
+    quantized: bool,
+    ppcb: int,
+    batch: int,
+    has_cur: bool,
+    has_alibi: bool,
+):
+    """TOKEN-major decode kernel (the MHA Tq == 1 hot path).
+
+    The general kernel transposes every DMA'd block to head-major
+    ([ppcb, P, Hkv, D] -> [Hkv, T, D]) and then runs an Hkv-batched
+    matvec — on v5e that measured 2.55 ms/layer at the 7B 24-slot shape
+    (81 GB/s of pages, ~10x off roofline): the per-head matvecs use one
+    MXU sublane row in eight and the relayout shuffles 16 MB of VMEM per
+    block. Here the block stays token-major and the scores become ONE
+    real matmul against a block-diagonal q:
+
+        scores[t, h] = (K [T, Hkv*D]  @  Qbd [Hkv*D, Hkv])[t, h],
+        Qbd[h*D + d, h'] = q[h, d] * (h == h')
+
+    The Hkv-fold FLOP waste is free next to the matvec's idle MXU rows,
+    no big tensor is ever transposed, and the weighted v-sum is a fused
+    broadcast-multiply + axis-0 reduction. Flash running max/sum stay
+    lane-oriented [1, Hkv]; only 32-element vectors ever change layout.
+    """
+    b, blk = pl.program_id(0), pl.program_id(1)
+    NP, _, P, Hkv, D = pool_ref.shape
+    T = ppcb * P
+    ct = (jnp.float32 if pool_ref.dtype == jnp.float32 else jnp.bfloat16)
+
+    @pl.when((b == 0) & (blk == 0))
+    def _init_smem():
+        buf_idx_ref[0] = 0
+        flag_ref[0] = 1
+
+    length = lengths_ref[b]
+    blocks_used = jnp.maximum(pl.cdiv(length, T), 1)
+    maxp = pl.num_programs(1) * ppcb
+
+    def copy_for(b_, blk_, slot):
+        return _PageBlockCopy(
+            pool_ref, scale_ref if quantized else None,
+            kv_bufs.at[slot],
+            scale_bufs.at[slot] if quantized else None,
+            sems.at[slot],
+            page_ids_ref, b_ * maxp + blk_ * ppcb, ppcb,
+        )
+
+    def next_indices(b_, blk_):
+        last = blk_ + 1 >= jnp.maximum(pl.cdiv(lengths_ref[b_], T), 1)
+        return jnp.where(last, b_ + 1, b_), jnp.where(last, 0, blk_ + 1)
+
+    @pl.when(blk < blocks_used)
+    def _work():
+        slot = buf_idx_ref[0]
+
+        @pl.when(flag_ref[0] == 1)
+        def _first():
+            copy_for(b, blk, slot).start()
+            flag_ref[0] = 0
+
+        nb, nblk2 = next_indices(b, blk)
+
+        @pl.when(nb < batch)
+        def _prefetch():
+            nxt = 1 - slot
+            copy_for(nb, nblk2, nxt).start()
+            buf_idx_ref[0] = nxt
+
+        copy_for(b, blk, slot).wait()
+
+        # ONE matmul for all heads: K stays token-major (reshape only)
+        kq = kv_bufs[slot, :, 0].reshape(T, Hkv * D).astype(ct)
+        q1 = q_ref[0].astype(ct).reshape(Hkv, D)
+        rh = jax.lax.broadcasted_iota(jnp.int32, (Hkv, D, Hkv), 0)
+        chd = jax.lax.broadcasted_iota(jnp.int32, (Hkv, D, Hkv), 2)
+        qbd = jnp.where(
+            rh == chd, q1[:, :, None], jnp.zeros((), ct)
+        ).reshape(Hkv * D, Hkv)
+        s = jax.lax.dot_general(
+            kq, qbd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # [T, Hkv]
+        if quantized:
+            ks = scale_bufs[slot, :, 0].transpose(0, 2, 1).reshape(T, Hkv)
+            s = s * ks
+        s = s * sm_scale
+        tok = blk * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+        if has_alibi:
+            # Tq == 1: the query sits at position `length`
+            dist = (length - tok).astype(jnp.float32)       # [T, 1]
+            s = s - jnp.swapaxes(slopes_ref[...], 0, 1) * dist
+        s = jnp.where(tok < length, s, NEG_INF)
+
+        m_prev = jnp.where(blk == 0, jnp.full_like(m_s, NEG_INF), m_s[...])
+        l_prev = jnp.where(blk == 0, jnp.zeros_like(l_s), l_s[...])
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)                     # [1, Hkv]
+        p = jnp.exp(s - m_new)                              # [T, Hkv]
+        l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+        if quantized:
+            vs = scale_bufs[slot, :, 1].transpose(0, 2, 1).reshape(T, Hkv)
+            p = p * vs
+        m_s[...] = m_new
+        l_s[...] = l_new
+
+        # weighted v-sum: broadcast-multiply + axis-0 reduce, no transpose
+        v3 = kv_bufs[slot, :, 1].reshape(T, Hkv, D).astype(ct)
+        pv = jnp.sum(
+            v3.astype(jnp.float32) * p[:, :, None], axis=0
+        )                                                   # [Hkv, D]
+        acc_prev = jnp.where(blk == 0, jnp.zeros_like(acc_s), acc_s[...])
+        alpha_c = jnp.swapaxes(alpha, 0, 1)[:, :, None]     # [Hkv, 1, 1]
+        acc_s[...] = acc_prev * alpha_c + pv[:, None, :]
+
+        @pl.when(blk == blocks_used - 1)
+        def _finish():
+            if has_cur:
+                # fold the current (not-yet-written) token in as a final
+                # single-entry block at position `length` (ALiBi dist 0)
+                qf = q_ref[0].astype(jnp.float32).reshape(Hkv, D)
+                ck = curk_ref[0, 0].astype(jnp.float32)     # [Hkv, D]
+                cv = curv_ref[0, 0].astype(jnp.float32)
+                s_self = jnp.sum(qf * ck, axis=1, keepdims=True) * sm_scale
+                s_self = jnp.where(valid_ref[b] > 0, s_self, NEG_INF)
+                s_l = jnp.swapaxes(s_self, 0, 1)            # [1, Hkv]
+                m_fin = jnp.maximum(m_s[...], s_l)
+                alpha_f = jnp.exp(m_s[...] - m_fin)
+                p_self = jnp.exp(s_l - m_fin)               # [1, Hkv]
+                l_fin = l_s[...] * alpha_f + p_self
+                pv_self = cv * jnp.swapaxes(p_self, 0, 1)   # [Hkv, D]
+                acc_fin = (acc_s[:, 0] * jnp.swapaxes(alpha_f, 0, 1)
+                           + pv_self)
+                l_c = jnp.swapaxes(l_fin, 0, 1)             # [Hkv, 1]
+                o_ref[0] = (
+                    acc_fin / jnp.maximum(l_c, 1e-9)
+                )[:, None, :].astype(o_ref.dtype)
+            else:
+                l_c = jnp.swapaxes(l_s[...], 0, 1)
+                o_ref[0] = (
+                    acc_s[:, 0] / jnp.maximum(l_c, 1e-9)
+                )[:, None, :].astype(o_ref.dtype)
+
+
 def paged_decode_attention(
     q: jax.Array,            # [B, Tq, H, D] (Tq = 1 decode; > 1 verify)
     kv_pages: jax.Array,     # [NP, 2, P, Hkv, D] bf16 or int8
@@ -374,14 +541,18 @@ def paged_decode_attention(
     else:
         slopes = jnp.zeros((Hkv, G2), jnp.float32)
 
+    # the token-major fast kernel covers the MHA decode hot path (one
+    # query per head); GQA/MQA and multi-token verify take the general
+    # head-major kernel
+    fast = G2 == 1
     scratch = [
         pltpu.VMEM((2, ppcb, 2, P, Hkv, D), kv_pages.dtype),
         # always allocated (256 KB); only DMA'd into when quantized.
         # Head-major (see _kernel signature).
         pltpu.VMEM((2, ppcb, 2, Hkv, P), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.VMEM((Hkv, G2, 128), jnp.float32),
-        pltpu.VMEM((Hkv, G2, 128), jnp.float32),
+        pltpu.VMEM((1, Hkv) if fast else (Hkv, G2, 128), jnp.float32),
+        pltpu.VMEM((1, Hkv) if fast else (Hkv, G2, 128), jnp.float32),
         pltpu.VMEM((Hkv, G2, D), jnp.float32),
         pltpu.SMEM((1,), jnp.int32),
         pltpu.SMEM((1,), jnp.int32),
@@ -407,11 +578,18 @@ def paged_decode_attention(
         ),
         scratch_shapes=scratch,
     )
-    out = pl.pallas_call(
-        functools.partial(
+    if fast:
+        kernel = functools.partial(
+            _kernel_decode1, sm_scale=sm_scale, quantized=quantized,
+            ppcb=ppcb, batch=B, has_cur=has_cur, has_alibi=has_alibi,
+        )
+    else:
+        kernel = functools.partial(
             _kernel, sm_scale=sm_scale, quantized=quantized, ppcb=ppcb,
             batch=B, has_cur=has_cur, n_cur=Tq, has_alibi=has_alibi,
-        ),
+        )
+    out = pl.pallas_call(
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G2, D), q.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -31,6 +31,11 @@ class OptimizerConfig:
     train_mm_projector: bool = True
     train_vision_tower: bool = False
     schedule: str = "cosine"  # "cosine" | "constant"
+    # Adam first-moment dtype. None inherits the param dtype (bf16 in the
+    # published recipes — both moments then cost 1x params each, which is
+    # what lets 7B training fit v5e HBM); "float32" buys back first-moment
+    # precision when a config has headroom.
+    mu_dtype: Optional[str] = None
 
 
 def _make_schedule(cfg: OptimizerConfig, peak_lr: float):
@@ -67,7 +72,8 @@ def build_optimizer(params, cfg: OptimizerConfig) -> optax.GradientTransformatio
     def adamw(peak_lr):
         return optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
-            optax.scale_by_adam(b1=cfg.b1, b2=cfg.b2, eps=cfg.eps),
+            optax.scale_by_adam(b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
+                                mu_dtype=cfg.mu_dtype),
             optax.add_decayed_weights(
                 cfg.weight_decay,
                 mask=(lambda p: jax.tree.map(lambda a: a.ndim > 1, p))
