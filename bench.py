@@ -468,97 +468,151 @@ def run(model_name: str, batch_size: int = 1, kv_int8: bool = False,
     }
 
 
+# bench.py must finish — and print the headline — inside the driver's
+# budget (round 4 was killed at rc 124 with NO headline on record because
+# tpu_checks ran first). Self-imposed wall-clock ceiling; every phase below
+# checks the remaining budget before starting and the headline is printed
+# the moment it exists.
+BUDGET_S = 3000
+
+
 def main():
     # Each attempt runs in a fresh subprocess: a failed (OOM) attempt must not
     # leak device buffers into the fallback.
     import os
     import subprocess
 
+    t_start = time.time()
+
+    def remaining():
+        return BUDGET_S - (time.time() - t_start)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    # Persistent XLA compile cache (gitignored, survives across rounds):
+    # backend init on the tunneled chip already costs ~200 s per
+    # subprocess; recompiling the same programs every round is what blew
+    # round 4's budget (flash_fwd check alone: 755 s).
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(here, ".xla_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+    zero = {
+        "metric": "serving_images_plus_tokens_per_sec_per_chip",
+        "value": 0.0, "unit": "img+tok/s/chip", "vs_baseline": 0.0,
+        "detail": {"error": "no attempt succeeded"},
+    }
+
     # Device liveness gate: a wedged/unavailable TPU tunnel blocks backend
     # init for ~25 min PER subprocess; without this gate the fallback
-    # chain would burn hours discovering the same outage 12 times.
+    # chain would burn hours discovering the same outage 12 times. A live
+    # tunnel answers in ~200 s (backend init); 600 s is decisively dead.
     try:
         probe = subprocess.run(
             [sys.executable, "-c",
              "import jax, jax.numpy as jnp; jax.devices(); "
              "print(float(jnp.ones(2).sum()))"],
-            capture_output=True, text=True, timeout=1800,
+            capture_output=True, text=True, timeout=600, env=env,
         )
         if probe.returncode != 0:
             raise RuntimeError(probe.stderr[-500:])
     except Exception as e:
         print(f"bench: device unavailable, skipping: {e}", file=sys.stderr)
-        print(json.dumps({
-            "metric": "serving_images_plus_tokens_per_sec_per_chip",
-            "value": 0.0, "unit": "img+tok/s/chip", "vs_baseline": 0.0,
-            "detail": {"error": "device unavailable (tunnel down)"},
-        }))
+        zero["detail"] = {"error": "device unavailable (tunnel down)"}
+        print(json.dumps(zero))
         return
 
-    # On-chip kernel equality checks first: writes TPUCHECKS.json (the
-    # driver-visible artifact proving the compiled TPU kernels — not their
-    # CPU fallbacks — match the XLA references this round). Additive:
-    # a failure is recorded in the artifact, never fails the bench.
-    try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        subprocess.run(
-            [sys.executable, os.path.join(here, "tools", "tpu_checks.py")],
-            timeout=1500,
-            # verdict goes to TPUCHECKS.json + stderr; bench stdout must
-            # stay exactly ONE JSON line (the driver parses it)
-            stdout=sys.stderr,
-        )
-    except Exception as e:
-        print(f"tpu_checks failed: {e}", file=sys.stderr)
+    def attempt(extra_args, timeout):
+        timeout = min(timeout, remaining() - 60)
+        if timeout < 120:
+            return None
+        cmd = [sys.executable, __file__] + extra_args
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=timeout, env=env)
+        except subprocess.TimeoutExpired:
+            print(f"bench: {extra_args} timed out after {timeout:.0f}s",
+                  file=sys.stderr)
+            return None
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+        print(f"bench: {extra_args} failed:\n{proc.stderr[-2000:]}",
+              file=sys.stderr)
+        return None
 
-    # Continuous-batching is the headline serving config: one chip decodes
-    # B streams off one weight pass (the reference's concurrency-5 worker
-    # time-slices a GPU instead). Fall back through smaller batches, then
-    # precision (int4 measures slower than int8 at these shapes: the Pallas
-    # matvec kernel underutilizes the MXU), then model size.
+    # ---- phase 1: the headline (continuous batching, dense cache) ----
+    # One chip decodes B streams off one weight pass (the reference's
+    # concurrency-5 worker time-slices a GPU instead). Fall back through
+    # smaller batches, then precision, then model size. int8f (fused
+    # qkv/gate|up int8) measured above plain int8 in round 4 (418.7 vs
+    # 412.4, CHIPBENCH.json); it leads the chain.
+    best = None
     for model, batch, kv8, lttft in (
-        # batch 16 is the measured sweet spot. Batch 24 FITS (~6.4 GB int8
-        # KV + ~7 GB int8 weights) but measures WORSE on every axis
-        # (355 vs 412 img+tok/s, 694 ms loaded TTFT, pathological burst):
-        # at ~15 GB resident the allocator spills transients and decode
-        # drops from 47% to 31% of the HBM speed-of-light — more streams
-        # stop paying once the weight stream is no longer the bottleneck.
-        ("llava-1.5-7b-int8", 16, True, True),
-        ("llava-1.5-7b-int8", 8, True, True),
-        ("llava-1.5-7b-int8", 8, False, False),
+        ("llava-1.5-7b-int8f", 16, True, True),
+        ("llava-1.5-7b-int8", 16, True, False),
+        ("llava-1.5-7b-int8", 8, True, False),
         ("llava-1.5-7b-int4", 16, True, False),
-        # 13B on one 16 GB chip (BASELINE config #2): int4 weights are what
-        # make it fit; lower throughput than 7B-int8 by model size, so it
-        # sits below the 7B headline in the fallback order
         ("llava-1.5-13b-int4", 8, True, False),
         ("llava-1.5-7b-int8", 4, False, False),
         ("llava-1.5-7b-int8", 1, False, False),
-        ("llava-1.5-7b-int4", 1, False, False),
         ("llava-1.5-7b", 1, False, False),
         ("llava-1.5-7b-lite", 1, False, False),
         ("tiny", 1, False, False),
     ):
-        cmd = [sys.executable, __file__, "--model", model, "--batch", str(batch)]
+        args = ["--model", model, "--batch", str(batch)]
         if kv8:
-            cmd.append("--kv-int8")
+            args.append("--kv-int8")
         if lttft:
-            cmd.append("--loaded-ttft")
-        proc = subprocess.run(
-            cmd, capture_output=True, text=True,
-            # the engine-metrics attempt additionally pays the cold-start
-            # probe + full warmup compile set inside the measurement
-            timeout=2700 if lttft else 1800,
-        )
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                print(line)
-                return
-        print(f"bench: {model} b{batch} failed:\n{proc.stderr[-2000:]}",
+            args.append("--loaded-ttft")
+        r = attempt(args, 2100 if lttft else 1200)
+        if r and r.get("value", 0) > 0:
+            best = r
+            # insurance copy: if a later phase hangs into the driver's
+            # kill, the headline is already on stdout
+            print(json.dumps(best), flush=True)
+            break
+        if remaining() < 400:
+            break
+
+    # ---- phase 2: paged-pool engine throughput (occupancy 24) ----
+    # Paged KV is the BASELINE north-star feature; it gets a driver-visible
+    # number every round. Promoted to the headline iff it beats dense.
+    if best is not None and remaining() > 900:
+        r = attempt(["--model", "llava-1.5-7b-int8", "--batch", "24",
+                     "--kv-int8", "--paged"], 1200)
+        if r and r.get("value", 0) > 0:
+            best.setdefault("detail", {})["paged24_img_tok_s"] = r["value"]
+            if r["value"] > best["value"]:
+                r.setdefault("detail", {})["dense16_img_tok_s"] = \
+                    best["value"]
+                best = r
+
+    # ---- phase 3: on-chip kernel equality checks (TPUCHECKS.json) ----
+    # Strictly after the headline: proves the compiled TPU kernels (not
+    # their CPU fallbacks) match the XLA references, with whatever budget
+    # is left. Additive — a failure is recorded, never fails the bench.
+    if remaining() > 300:
+        try:
+            subprocess.run(
+                [sys.executable, os.path.join(here, "tools",
+                                              "tpu_checks.py")],
+                timeout=min(1200, remaining() - 60),
+                # verdict goes to TPUCHECKS.json + stderr; bench stdout
+                # must end with the headline line (the driver parses it)
+                stdout=sys.stderr, env=env,
+            )
+        except Exception as e:
+            print(f"tpu_checks failed: {e}", file=sys.stderr)
+    else:
+        print(f"bench: skipping tpu_checks ({remaining():.0f}s left)",
               file=sys.stderr)
-    print(json.dumps({
-        "metric": "serving_images_plus_tokens_per_sec_per_chip",
-        "value": 0.0, "unit": "img+tok/s/chip", "vs_baseline": 0.0,
-    }))
+
+    print(json.dumps(best or zero), flush=True)
 
 
 if __name__ == "__main__":

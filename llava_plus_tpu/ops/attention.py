@@ -134,6 +134,12 @@ def attention(
         impl = "xla"  # explicit kv positions are an XLA-path feature
     if impl == "auto":
         impl = "pallas" if _can_use_pallas(q, k, bias, q_positions) else "xla"
+    if impl == "pallas" and bias is not None:
+        # The fused kernel takes ALiBi via alibi_slopes, not an additive
+        # bias tensor; an explicit impl="pallas" with bias (MPT ALiBi /
+        # prefix-LM path) must compute the right logits, not silently drop
+        # the bias on the shard_mapped multi-device branch below.
+        impl = "xla"
     if impl == "pallas":
         from llava_plus_tpu.ops.flash_attention import flash_attention
         from llava_plus_tpu.parallel.mesh import active_mesh

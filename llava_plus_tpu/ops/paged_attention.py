@@ -214,7 +214,11 @@ def _kernel(
             qoff = jax.lax.broadcasted_iota(
                 jnp.int32, (1, q_ref.shape[2], 1), 1
             ) % n_cur
-            dist = (length + qoff - tok).astype(jnp.float32)
+            # without a current chunk the (single) query's own KV is
+            # already pooled at position length-1 — match the XLA
+            # reference's q_position there (has_cur is static)
+            qbase = length if has_cur else length - 1
+            dist = (qbase + qoff - tok).astype(jnp.float32)
             scores = scores - slopes_ref[...][:, :, None] * dist
         scores = jnp.where(tok < length, scores, NEG_INF)
 
@@ -410,8 +414,11 @@ def _kernel_decode1(
         s = s * sm_scale
         tok = blk * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
         if has_alibi:
-            # Tq == 1: the query sits at position `length`
-            dist = (length - tok).astype(jnp.float32)       # [T, 1]
+            # Tq == 1: the query sits at position `length` when its KV is
+            # the (unwritten) current chunk, else at `length - 1` (already
+            # pooled) — matching paged_attention_reference's q_position
+            dist = ((length if has_cur else length - 1) - tok).astype(
+                jnp.float32)                                # [T, 1]
             s = s - jnp.swapaxes(slopes_ref[...], 0, 1) * dist
         s = jnp.where(tok < length, s, NEG_INF)
 

@@ -1052,6 +1052,14 @@ class BatchedEngine:
                         self._ready.put(prep)
             elif not dispatched and not inflight and self._ready.qsize() >= 2:
                 time.sleep(self.idle_sleep)
+        # stop() raced a dispatched-but-unfetched batch: its requests must
+        # still get their terminal chunk, or drain()/stream() callers stall
+        # until the queue timeout.
+        while inflight:
+            inf = inflight.popleft()
+            for req in inf.reqs:
+                req._chunks.put(None)
+                req._done.set()
 
     def _prefill_batch_sizes(self) -> List[int]:
         """The FIXED set of prefill batch sizes the engine compiles:

@@ -108,6 +108,7 @@ def main():
     import subprocess
 
     results = {}
+    failures = {}
     for mode in ("on", "off"):
         proc = subprocess.run(
             [sys.executable, __file__, "--mode", mode,
@@ -117,10 +118,17 @@ def main():
         shown = [l for l in proc.stdout.splitlines()
                  if l.startswith("prefix=")]
         print(shown[-1] if shown
-              else f"prefix={mode} FAILED\n{proc.stderr[-800:]}", flush=True)
+              else f"prefix={mode} FAILED (rc={proc.returncode})",
+              flush=True)
         for line in proc.stdout.splitlines():
             if line.startswith("RESULT "):
                 results[mode] = json.loads(line[7:])
+        if mode not in results:
+            failures[mode] = proc.stderr[-3000:]
+            # the failing leg's traceback must land in the artifact, not
+            # vanish into a bare exit(1) (round-4 prefix stage)
+            print(f"--- prefix={mode} stderr tail ---\n{failures[mode]}",
+                  file=sys.stderr, flush=True)
     if len(results) == 2:
         on = results["on"]["ttft_p50_ms"]
         off = results["off"]["ttft_p50_ms"]
@@ -132,6 +140,10 @@ def main():
             "speedup": round(off / on, 2),
         }), flush=True)
     else:
+        print("RESULT " + json.dumps({
+            "error": {m: f[-600:] for m, f in failures.items()},
+            "partial": results,
+        }), flush=True)
         sys.exit(1)
 
 

@@ -60,8 +60,16 @@ def parse_result(stdout: str):
 
 
 def main():
+    import os
+
     only = set(sys.argv[1:])
     stages = {}
+    env = dict(os.environ)
+    # failures must be diagnosable from the artifact alone: full
+    # tracebacks (no JAX frame filtering), and the tail keeps the last
+    # 4 KB of BOTH streams (round 4's paged24 crash recorded only TPU
+    # log-permission noise; the actual exception was filtered away)
+    env.setdefault("JAX_TRACEBACK_FILTERING", "off")
     for name, cmd, tmo in STAGES:
         if only and name not in only:
             continue
@@ -70,18 +78,23 @@ def main():
         try:
             proc = subprocess.run(
                 cmd, cwd=ROOT, capture_output=True, text=True, timeout=tmo,
+                env=env,
             )
             rc, out, err = proc.returncode, proc.stdout, proc.stderr
         except subprocess.TimeoutExpired as e:
             rc = -1
-            out = (e.stdout or b"").decode() if isinstance(
-                e.stdout, bytes) else (e.stdout or "")
-            err = f"timeout after {tmo}s"
+
+            def _s(x):
+                return x.decode() if isinstance(x, bytes) else (x or "")
+            out = _s(e.stdout)
+            err = _s(e.stderr) + f"\n[timeout after {tmo}s]"
         stages[name] = {
             "rc": rc,
             "seconds": round(time.time() - t0, 1),
             "result": parse_result(out),
-            "tail": "\n".join((err if rc != 0 else out).splitlines()[-8:]),
+            "tail": ("--- stdout ---\n" + out[-2048:]
+                     + "\n--- stderr ---\n" + err[-4096:]) if rc != 0
+                    else "\n".join(out.splitlines()[-8:]),
         }
         print(json.dumps({name: stages[name]["result"]}), flush=True)
         if rc != 0:

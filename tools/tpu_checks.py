@@ -46,6 +46,19 @@ sys.path.insert(0, REPO)
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# Persistent compile cache (also set by bench.py for its subprocesses):
+# round 4's flash_fwd check spent 755 s in XLA compilation alone; cached,
+# the whole suite reruns in a few minutes.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(REPO, ".xla_cache")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
 RATIO = 2.5   # kernel may be at most this factor noisier than XLA
 FLOOR = 2e-3  # and never fails under this normalized error
 
@@ -192,9 +205,9 @@ def check_decode_dense(quantized):
     return got, ref, truth, None
 
 
-def _paged_setup(seed, quantized, n_cur=1):
+def _paged_setup(seed, quantized, n_cur=1, Hkv=4, H=8):
     rng = np.random.default_rng(seed)
-    B, NP, Hkv, P, D, H = 4, 24, 4, 128, 128, 8
+    B, NP, P, D = 4, 24, 128, 128
     maxp = 4
     kv = rng.standard_normal((NP, 2, P, Hkv, D)).astype(np.float32)
     pt = jnp.asarray(rng.permutation(NP)[: B * maxp].reshape(B, maxp)
@@ -261,6 +274,29 @@ def check_paged_alibi():
     return got, ref, truth, m[:, :, None, None]
 
 
+def check_paged_alibi_nocur(mha):
+    """ALiBi decode with NO current chunk: the query's own KV is already
+    pooled, so its position is lengths-1 (regression for the one-token
+    bias offset fixed in round 5 — kernels previously used `length`).
+    mha=True drives the token-major fast kernel (_kernel_decode1, the
+    production llama MHA decode path); mha=False the general GQA kernel."""
+    from llava_plus_tpu.models.mpt import alibi_slopes
+    from llava_plus_tpu.ops.paged_attention import (
+        paged_attention_reference, paged_decode_attention,
+    )
+
+    heads = dict(Hkv=8, H=8) if mha else dict(Hkv=4, H=8)
+    q, kv, pt, lens, scale, _, _ = _paged_setup(60, False, **heads)
+    lens = jnp.maximum(lens, 1)  # every slot has >= 1 pooled token
+    slopes = alibi_slopes(q.shape[2])
+    kw = dict(cur_k=None, cur_v=None, cur_valid=None, alibi_slopes=slopes)
+    got = paged_decode_attention(q, kv, pt, lens, scale, **kw)
+    ref = paged_attention_reference(q, kv, pt, lens, scale, **kw)
+    with jax.default_matmul_precision("float32"):
+        truth = paged_attention_reference(q, kv, pt, lens, scale, **kw)
+    return got, ref, truth, None
+
+
 def check_quant_matmul(bits):
     from llava_plus_tpu.ops.quant import (
         dequantize_array, matmul, quantize_array, quantize_array_int4,
@@ -292,6 +328,8 @@ CHECKS = [
     ("paged_multitoken_bf16", lambda: check_paged_multitoken(False)),
     ("paged_multitoken_int8", lambda: check_paged_multitoken(True)),
     ("paged_alibi", check_paged_alibi),
+    ("paged_alibi_nocur_mha", lambda: check_paged_alibi_nocur(True)),
+    ("paged_alibi_nocur_gqa", lambda: check_paged_alibi_nocur(False)),
     ("int8_matmul", lambda: check_quant_matmul(8)),
     ("int4_matmul", lambda: check_quant_matmul(4)),
 ]
