@@ -276,6 +276,20 @@ def _scan_unroll() -> int:
         return 1
 
 
+def _decode_unroll() -> bool:
+    """Static Python-loop layer iteration for decode steps
+    (LLAVA_DECODE_UNROLL, default on for TPU).
+
+    Distinct from LLAVA_SCAN_UNROLL (scan's unroll= option): scan-unroll
+    keeps DYNAMIC layer indices, which copy every unrolled layer's cache
+    slice (the round-3 410 -> 260 regression). The Python loop bakes the
+    layer index into each dynamic_update_slice as a constant, so cache
+    writes stay in place and weight slices are contiguous views."""
+    import os
+
+    return os.environ.get("LLAVA_DECODE_UNROLL", "1") != "0"
+
+
 def _decode_kernel_ok() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -675,6 +689,17 @@ def decoder_forward(
         positions, cfg.head_dim, cfg.rope_theta,
         cfg.rope_scaling_type, cfg.rope_scaling_factor,
     )
+    # Decode steps iterate layers with a STATIC Python loop instead of
+    # lax.scan: on the tunneled v5e every scan iteration costs ~390 us of
+    # fixed loop overhead, so a 32-layer scanned decode step pays ~12.5 ms
+    # of pure tax — half the measured step. Static per-layer indices
+    # slice the stacked params at constant offsets (contiguous views, no
+    # copies — unlike scan-unroll's dynamic slices, which regressed 410 ->
+    # 260 img+tok/s in round 3 by copying every layer's weights). Prefill
+    # and training keep the scan: one compiled body, natural remat point,
+    # and the tax amortizes over T >> 1 tokens of compute.
+    unrolled = (cache is not None and not remat
+                and inputs_embeds.shape[1] <= 8 and _decode_unroll())
 
     new_cache_seg = None
     paged_info = None
@@ -717,12 +742,22 @@ def decoder_forward(
         if remat:
             body = jax.checkpoint(body)
         L = cfg.num_hidden_layers
-        (h,), (stage_k, stage_v, stage_sk, stage_sv) = jax.lax.scan(
-            body,
-            (h,),
-            (params["layers"], jnp.arange(L, dtype=jnp.int32)),
-            unroll=_scan_unroll(),
-        )
+        if unrolled:
+            stages = []
+            for i in range(L):
+                lp_i = jax.tree.map(lambda a: a[i], params["layers"])
+                (h,), staged = body((h,), (lp_i, jnp.int32(i)))
+                stages.append(staged)
+            stage_k, stage_v, stage_sk, stage_sv = (
+                jnp.stack(parts) for parts in zip(*stages)
+            )
+        else:
+            (h,), (stage_k, stage_v, stage_sk, stage_sv) = jax.lax.scan(
+                body,
+                (h,),
+                (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+                unroll=_scan_unroll(),
+            )
         pages, offsets, valid = paged_info[0], paged_info[1], paged_info[2]
         kvp, kvsp = _paged_write_all(
             cache.kv, cache.kv_scale, stage_k, stage_v, stage_sk, stage_sv,
@@ -744,12 +779,21 @@ def decoder_forward(
 
         if remat:
             body = jax.checkpoint(body)
-        (h, ks, vs, kss, vss, _), _ = jax.lax.scan(
-            body,
-            (h, cache.k, cache.v, cache.k_scale, cache.v_scale, jnp.int32(0)),
-            params["layers"],
-            unroll=_scan_unroll(),
-        )
+        if unrolled:
+            carry = (h, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                     jnp.int32(0))
+            for i in range(cfg.num_hidden_layers):
+                lp_i = jax.tree.map(lambda a: a[i], params["layers"])
+                carry, _ = body(carry, lp_i)
+            h, ks, vs, kss, vss, _ = carry
+        else:
+            (h, ks, vs, kss, vss, _), _ = jax.lax.scan(
+                body,
+                (h, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                 jnp.int32(0)),
+                params["layers"],
+                unroll=_scan_unroll(),
+            )
         new_cache = KVCache(k=ks, v=vs, seg=new_cache_seg,
                             k_scale=kss, v_scale=vss)
     else:

@@ -208,11 +208,17 @@ def decoder_forward(
     remat: bool = False,
     fresh_prefill: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
-    from llava_plus_tpu.models.llama import PagedKVCache, _paged_write_all
+    from llava_plus_tpu.models.llama import (
+        PagedKVCache, _decode_unroll, _paged_write_all,
+    )
 
     h = inputs_embeds
     B, T, D = h.shape
     paged = isinstance(cache, PagedKVCache)
+    # static Python-loop layer iteration for decode steps — same ~390 us/
+    # iteration scan-tax rationale as llama.decoder_forward
+    unrolled = (cache is not None and not remat and T <= 8
+                and _decode_unroll())
 
     if cfg.learned_pos_emb and not cfg.alibi:
         h = h + jnp.take(params["wpe"], positions, axis=0)
@@ -280,11 +286,21 @@ def decoder_forward(
         if remat:
             body = jax.checkpoint(body)
         L = cfg.n_layers
-        (h,), (stage_k, stage_v, stage_sk, stage_sv) = jax.lax.scan(
-            body,
-            (h,),
-            (params["layers"], jnp.arange(L, dtype=jnp.int32)),
-        )
+        if unrolled:
+            stages = []
+            for i in range(L):
+                lp_i = jax.tree.map(lambda a: a[i], params["layers"])
+                (h,), staged = body((h,), (lp_i, jnp.int32(i)))
+                stages.append(staged)
+            stage_k, stage_v, stage_sk, stage_sv = (
+                jnp.stack(parts) for parts in zip(*stages)
+            )
+        else:
+            (h,), (stage_k, stage_v, stage_sk, stage_sv) = jax.lax.scan(
+                body,
+                (h,),
+                (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+            )
         pages, offsets, valid = paged_info[0], paged_info[1], paged_info[2]
         kvp, kvsp = _paged_write_all(
             cache.kv, cache.kv_scale, stage_k, stage_v, stage_sk, stage_sv,
@@ -306,11 +322,20 @@ def decoder_forward(
 
         if remat:
             body = jax.checkpoint(body)
-        (h, ks, vs, kss, vss, _), _ = jax.lax.scan(
-            body,
-            (h, cache.k, cache.v, cache.k_scale, cache.v_scale, jnp.int32(0)),
-            params["layers"],
-        )
+        if unrolled:
+            carry = (h, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                     jnp.int32(0))
+            for i in range(cfg.n_layers):
+                lp_i = jax.tree.map(lambda a: a[i], params["layers"])
+                carry, _ = body(carry, lp_i)
+            h, ks, vs, kss, vss, _ = carry
+        else:
+            (h, ks, vs, kss, vss, _), _ = jax.lax.scan(
+                body,
+                (h, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                 jnp.int32(0)),
+                params["layers"],
+            )
         new_cache = KVCache(k=ks, v=vs, seg=new_cache_seg,
                             k_scale=kss, v_scale=vss)
     else:

@@ -396,14 +396,18 @@ def _kernel_decode1(
 
         copy_for(b, blk, slot).wait()
 
-        # ONE matmul for all heads: K stays token-major (reshape only)
+        # ONE matmul for all heads: K stays token-major (reshape only).
+        # The block-diagonal query expands in f32: Mosaic only supports
+        # non-no-op minor-dim inserts (q1[:, :, None]) for 32-bit types —
+        # the bf16 version fails to compile ("Insertion of minor dim that
+        # is not a no-op only supported for 32-bit types", chipbench r5).
         kq = kv_bufs[slot, :, 0].reshape(T, Hkv * D).astype(ct)
-        q1 = q_ref[0].astype(ct).reshape(Hkv, D)
+        q1 = q_ref[0].astype(jnp.float32).reshape(Hkv, D)
         rh = jax.lax.broadcasted_iota(jnp.int32, (Hkv, D, Hkv), 0)
         chd = jax.lax.broadcasted_iota(jnp.int32, (Hkv, D, Hkv), 2)
         qbd = jnp.where(
-            rh == chd, q1[:, :, None], jnp.zeros((), ct)
-        ).reshape(Hkv * D, Hkv)
+            rh == chd, q1[:, :, None], 0.0
+        ).reshape(Hkv * D, Hkv).astype(ct)
         s = jax.lax.dot_general(
             kq, qbd, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

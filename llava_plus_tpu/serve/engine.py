@@ -249,6 +249,11 @@ class BatchedEngine:
         self._spec_pause = 0
         self.spec_pause_len = 64  # plain chunks decoded per re-probe cycle
         self.spec_pauses = 0      # times adaptive gating kicked in
+        self.spec_refreshes = 0   # device-state rebuilds (membership churn)
+        # wall-time breakdown of the speculative loop (diagnosis counters;
+        # read by tools/bench_spec.py — negligible overhead)
+        self.spec_timers = {"dispatch": 0.0, "fetch": 0.0, "emit": 0.0,
+                            "refresh": 0.0, "iters": 0}
         # device-resident speculation pipeline: per-slot (cur, hlen, hist,
         # prop, budget) live on device between steps; the host fetches only
         # each step's [B, k+2] emitted-token row, `spec_depth` steps behind
@@ -1468,6 +1473,8 @@ class BatchedEngine:
         membership changes (admission, stop-string finish, pause
         transitions) — per-step updates otherwise never leave the
         device (see _spec_prog)."""
+        t0 = time.perf_counter()
+        self.spec_refreshes += 1
         B, S, k = self.max_slots, self.max_seq_len, self.speculate
         hist = np.zeros((B, S), np.int32)
         hlen = np.zeros((B,), np.int32)
@@ -1503,17 +1510,20 @@ class BatchedEngine:
             "keys": jnp.stack(keys), "temps": jnp.asarray(temps),
             "tops": jnp.asarray(tops),
         }
+        self.spec_timers["refresh"] += time.perf_counter() - t0
 
     def _spec_dispatch(self):
         """Dispatch one fused speculative step on the CURRENT device
         handles (no host sync): the device pipeline stays full while the
         previous step's emitted tokens are still in flight to the host."""
         st = self._spec_dev
+        t0 = time.perf_counter()
         ret, cur, hlen, hist, prop, budget, self.cache = self._spec_prog(
             self.params, self.cache, st["cur"], st["hlen"], st["hist"],
             st["prop"], st["budget"], st["active"], st["keys"],
             st["temps"], st["tops"], k=self.speculate,
         )
+        self.spec_timers["dispatch"] += time.perf_counter() - t0
         st.update(cur=cur, hlen=hlen, hist=hist, prop=prop, budget=budget)
         # snapshot slot->request identity: a slot that turns over between
         # dispatch and fetch (stop-string finish + admission) must not
@@ -1527,7 +1537,10 @@ class BatchedEngine:
         Returns True when slot membership changed (the device state is
         stale and must be refreshed)."""
         ret, owners = self._spec_inflight.popleft()
+        t0 = time.perf_counter()
         out = np.asarray(jax.device_get(ret))       # [B, k+2]
+        t1 = time.perf_counter()
+        self.spec_timers["fetch"] += t1 - t0
         self.spec_steps += 1
         changed = False
         for i, slot in enumerate(self._slots):
@@ -1556,6 +1569,7 @@ class BatchedEngine:
                 changed = True
             else:
                 slot.pos += e
+        self.spec_timers["emit"] += time.perf_counter() - t1
         return changed
 
     def _spec_drain(self):
@@ -1601,6 +1615,7 @@ class BatchedEngine:
                         self._spec_dev = None
                         continue
                 else:
+                    self.spec_timers["iters"] += 1
                     if self._spec_dev is None:
                         self._spec_refresh()
                     # keep the device pipeline `spec_depth` steps ahead of

@@ -62,6 +62,11 @@ def run(speculate: int, new_tokens: int):
         while req._chunks.get(timeout=900) is not None:
             n += 1
         dt = time.perf_counter() - t0
+        if speculate:
+            t = dict(eng.spec_timers)
+            t["steps"] = eng.spec_steps
+            t["refreshes"] = eng.spec_refreshes
+            print(f"  spec loop breakdown: {t}", flush=True)
         return n, dt, eng.spec_acceptance
     finally:
         eng.stop()
@@ -191,8 +196,11 @@ def main():
             capture_output=True, text=True, timeout=3000,
         )
         out = [l for l in proc.stdout.splitlines() if l.startswith("  ")]
-        print(out[-1] if out else f"spec={mode} FAILED\n{proc.stderr[-800:]}",
-              flush=True)
+        if out:
+            print("\n".join(out), flush=True)  # incl. spec loop breakdown
+        else:
+            print(f"spec={mode} FAILED (rc={proc.returncode})\n"
+                  f"{proc.stderr[-2000:]}", flush=True)
         for line in proc.stdout.splitlines():
             if line.startswith("RESULT "):
                 results["plain" if mode == 0 else f"spec{mode}"] = (

@@ -70,6 +70,12 @@ def main():
     # 4 KB of BOTH streams (round 4's paged24 crash recorded only TPU
     # log-permission noise; the actual exception was filtered away)
     env.setdefault("JAX_TRACEBACK_FILTERING", "off")
+    # every stage recompiles the same 7B programs; the persistent XLA
+    # cache (also used by bench.py / tpu_checks.py) cuts re-runs from
+    # minutes of compile to seconds
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".xla_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     for name, cmd, tmo in STAGES:
         if only and name not in only:
             continue
