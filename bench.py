@@ -310,7 +310,7 @@ def run_paged_engine(model_name: str, slots: int, kv_int8: bool = True):
 
 
 def run(model_name: str, batch_size: int = 1, kv_int8: bool = False,
-        loaded_ttft: bool = False):
+        loaded_ttft: bool = False, raw_paged: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -391,6 +391,24 @@ def run(model_name: str, batch_size: int = 1, kv_int8: bool = False,
         return toks, token, cache
 
     def make_cache():
+        if raw_paged:
+            # Static-batch serving over the PAGED pool: identity page
+            # tables (slot b owns pages [b*pps, (b+1)*pps)) make the pool
+            # an exact drop-in for the dense cache at the same HBM bill,
+            # but decode attention runs the manual-DMA Pallas paged
+            # kernel (int8-native, all heads per block, only VALID pages
+            # read) instead of the XLA batched-matvec einsum.
+            import dataclasses
+
+            page_size = 128
+            pps = CACHE_LEN // page_size
+            c = llama.PagedKVCache.create(
+                cfg.text, B, num_pages=B * pps, max_pages_per_slot=pps,
+                page_size=page_size,
+                dtype=jnp.int8 if kv_int8 else jnp.bfloat16,
+            )
+            pt = np.arange(B * pps, dtype=np.int32).reshape(B, pps)
+            return dataclasses.replace(c, page_table=jnp.asarray(pt))
         return llama.KVCache.create(
             cfg.text, B, CACHE_LEN, jnp.int8 if kv_int8 else jnp.bfloat16
         )
@@ -453,6 +471,7 @@ def run(model_name: str, batch_size: int = 1, kv_int8: bool = False,
             "model": model_name,
             "baseline": "estimate",  # no published A100 serving number
             "batch": B,
+            "cache": "paged" if raw_paged else "dense",
             "kv_cache": "int8" if kv_int8 else "bf16",
             "ttft_s": round(ttft, 4),
             "loaded_ttft_p50_s": engine_metrics.get("loaded_ttft_p50_s"),
@@ -626,12 +645,17 @@ if __name__ == "__main__":
     parser.add_argument("--paged", action="store_true",
                         help="engine throughput over the paged KV pool "
                              "(--batch becomes the slot/occupancy count)")
+    parser.add_argument("--paged-raw", action="store_true",
+                        help="static-batch loop over the paged pool "
+                             "(identity page tables; Pallas paged decode "
+                             "kernel instead of the XLA einsum)")
     args = parser.parse_args()
     if args.model and args.paged:
         print(json.dumps(run_paged_engine(args.model, args.batch,
                                           args.kv_int8)))
     elif args.model:
         print(json.dumps(run(args.model, args.batch, args.kv_int8,
-                             loaded_ttft=args.loaded_ttft)))
+                             loaded_ttft=args.loaded_ttft,
+                             raw_paged=args.paged_raw)))
     else:
         main()

@@ -616,6 +616,22 @@ def _layer_forward(
             attn_out = decode_attention(
                 q, to_hsd(k_all), to_hsd(v_all), cache_seg, ks, vs
             )
+        elif ks_all is not None:
+            # int8 cache: fold the scales into scores/probabilities and
+            # feed the raw int8 slices to the MXU as fused bf16 converts
+            # (ops/attention.quant_cache_attention) — 1.29x over dequant-
+            # then-attend at the 7B b16 serving shape. Plain einsums, so
+            # GSPMD partitions it under a tp mesh like the XLA path.
+            from llava_plus_tpu.ops.attention import quant_cache_attention
+
+            ix = lambda a: jax.lax.dynamic_index_in_dim(
+                a, idx, 0, keepdims=False
+            )
+            attn_out = quant_cache_attention(
+                q, ix(k_all), ix(ks_all), ix(v_all), ix(vs_all),
+                kv_segment_ids=cache_seg,
+                q_positions=positions,
+            )
         else:
             k_cache = _cache_read(k_all, ks_all, idx, q.dtype)
             v_cache = _cache_read(v_all, vs_all, idx, q.dtype)

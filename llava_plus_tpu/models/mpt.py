@@ -162,16 +162,32 @@ def _layer_forward(
         b_idx = jnp.arange(B)[:, None]
         k_all, ks_all = _cache_write(k_all, ks_all, k, idx, b_idx, positions)
         v_all, vs_all = _cache_write(v_all, vs_all, v, idx, b_idx, positions)
-        k_cache = _cache_read(k_all, ks_all, idx, q.dtype)
-        v_cache = _cache_read(v_all, vs_all, idx, q.dtype)
-        attn_out = attention(
-            q, k_cache, v_cache,
-            causal=True, bias=bias,
-            q_segment_ids=segment_ids, kv_segment_ids=cache_seg,
-            q_positions=positions,
-            softmax_scale=cfg.softmax_scale or Dh ** -0.5,
-            impl=attn_impl,
-        )
+        if ks_all is not None:
+            # int8 cache: folded-scale attention straight off the int8
+            # slices (see llama.py dense branch / ops.attention.
+            # quant_cache_attention); ALiBi/prefix bias rides along.
+            from llava_plus_tpu.ops.attention import quant_cache_attention
+            import jax as _jax
+
+            ix = lambda a: _jax.lax.dynamic_index_in_dim(
+                a, idx, 0, keepdims=False
+            )
+            attn_out = quant_cache_attention(
+                q, ix(k_all), ix(ks_all), ix(v_all), ix(vs_all),
+                kv_segment_ids=cache_seg, q_positions=positions,
+                bias=bias, softmax_scale=cfg.softmax_scale or Dh ** -0.5,
+            )
+        else:
+            k_cache = _cache_read(k_all, ks_all, idx, q.dtype)
+            v_cache = _cache_read(v_all, vs_all, idx, q.dtype)
+            attn_out = attention(
+                q, k_cache, v_cache,
+                causal=True, bias=bias,
+                q_segment_ids=segment_ids, kv_segment_ids=cache_seg,
+                q_positions=positions,
+                softmax_scale=cfg.softmax_scale or Dh ** -0.5,
+                impl=attn_impl,
+            )
         new_cache = (k_all, v_all, ks_all, vs_all)
     else:
         attn_out = attention(

@@ -224,6 +224,91 @@ def _shard_mapped_flash(mesh, q, k, causal, softmax_scale):
     )
 
 
+def quant_cache_attention(
+    q: jax.Array,
+    kq: jax.Array,
+    ks: jax.Array,
+    vq: jax.Array,
+    vs: jax.Array,
+    *,
+    kv_segment_ids: jax.Array,
+    q_positions: jax.Array,
+    bias: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+) -> jax.Array:
+    """Decode attention reading the int8 KV cache NATIVELY (folded scales).
+
+    The dequant-then-attend path (``_cache_read`` + :func:`xla_attention`)
+    upcasts the whole [B, S, H, D] cache slice to f32 before the einsums;
+    on v5e the folded form below measures 1.29x faster at the 7B b16
+    serving shape (tools/bench_decode_attn.py: 26.8 vs 34.6 ms/step for a
+    32-layer sweep) because the cache feeds the MXU as a fused int8->bf16
+    convert and the f32 work shrinks to the [B, H, Tq, S] score tensor:
+
+    - k_scale is constant along D (the score contraction), so it scales
+      the scores instead of the keys;
+    - v_scale is constant along D and contracts over S, so it folds into
+      the probabilities instead of the values.
+
+    Same math as dequantizing, reassociated (measured max rel err ~3e-3
+    vs the dequant path — inside the int8 quantization noise).
+
+    q [B, Tq, H, D] (bf16); kq/vq int8 [B, S, Hkv, D]; ks/vs f32
+    [B, S, Hkv, 1]. ``q_positions`` [B, Tq] absolute positions (cache
+    slot == position); ``bias`` [B or 1, H, Tq, S] additive (ALiBi).
+    """
+    B, Tq, H, D = q.shape
+    S, Hkv = kq.shape[1], kq.shape[2]
+    assert H % Hkv == 0, (H, Hkv)
+    groups = H // Hkv
+    scale = softmax_scale if softmax_scale is not None else D ** -0.5
+
+    kb = kq.astype(q.dtype)            # fused operand convert, bf16 MXU
+    if groups > 1:
+        qg = q.reshape(B, Tq, Hkv, groups, D)
+        logits = jnp.einsum(
+            "btkgd,bskd->bkgts", qg, kb,
+            preferred_element_type=jnp.float32,
+        )                               # [B, Hkv, G, Tq, S]
+        kscale = jnp.transpose(ks[..., 0], (0, 2, 1))  # [B, Hkv, S]
+        logits = (logits * (kscale * scale)[:, :, None, None, :]).reshape(
+            B, H, Tq, S
+        )
+    else:
+        logits = jnp.einsum(
+            "bthd,bshd->bhts", q, kb,
+            preferred_element_type=jnp.float32,
+        )
+        kscale = jnp.transpose(ks[..., 0], (0, 2, 1))
+        logits = logits * (kscale * scale)[:, :, None, :]
+
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    mask = (kv_pos[:, None, :] <= q_positions[:, :, None])[:, None]
+    mask = mask & (kv_segment_ids != 0)[:, None, None, :]
+    logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    vscale = jnp.transpose(vs[..., 0], (0, 2, 1))       # [B, Hkv, S]
+    vb = vq.astype(q.dtype)
+    if groups > 1:
+        pg = probs.reshape(B, Hkv, groups, Tq, S)
+        pg = (pg * vscale[:, :, None, None, :]).astype(q.dtype)
+        out = jnp.einsum(
+            "bkgts,bskd->btkgd", pg, vb,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, Tq, H, D)
+    else:
+        pv = (probs * vscale[:, :, None, :]).astype(q.dtype)
+        out = jnp.einsum(
+            "bhts,bshd->bthd", pv, vb,
+            preferred_element_type=jnp.float32,
+        )
+    return out.astype(q.dtype)
+
+
 def _can_use_pallas(q, k, bias, q_positions) -> bool:
     if not _on_tpu():
         return False
