@@ -41,6 +41,10 @@ STAGES = [
     ("eval", [sys.executable, "tools/bench_eval.py"], 3000),
     ("int8f", [sys.executable, "bench.py", "--model", "llava-1.5-7b-int8f",
                "--batch", "16", "--kv-int8"], 2400),
+    # decode byte budget: full step vs isolated weight-stream / KV-read
+    # programs at the headline config; backs the README's "where the
+    # decode milliseconds go" table (VERDICT r4 item 6)
+    ("profile", [sys.executable, "tools/profile_decode.py"], 2400),
 ]
 
 

@@ -297,6 +297,44 @@ def check_paged_alibi_nocur(mha):
     return got, ref, truth, None
 
 
+def check_quant_cache_attention(groups):
+    """Folded-scale int8-cache decode attention (the r5 serving headline's
+    hot path, ops/attention.py:quant_cache_attention) vs dequantize-then-
+    attend ON THE CHIP: the fold feeds raw int8 to the MXU as a fused bf16
+    convert, which only the TPU compile path exercises."""
+    from llava_plus_tpu.ops.attention import (
+        quant_cache_attention, xla_attention,
+    )
+
+    B, S, Hkv, D, Tq = 4, 512, 8, 128, 1
+    H = Hkv * groups
+    q = (_rand((B, Tq, H, D), 70) * 0.5).astype(jnp.bfloat16)
+    k = _rand((B, S, Hkv, D), 71) * 0.5
+    v = _rand((B, S, Hkv, D), 72) * 0.5
+
+    def q8(a):
+        s = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0 + 1e-8
+        return (jnp.clip(jnp.round(a / s), -127, 127).astype(jnp.int8),
+                s.astype(jnp.float32))
+
+    kq, ks = q8(k)
+    vq, vs = q8(v)
+    ctx = np.array([S, 300, 17, 1])
+    seg = jnp.asarray((np.arange(S)[None] < ctx[:, None]).astype(np.int32))
+    pos = jnp.asarray(ctx - 1, jnp.int32)[:, None]
+    got = quant_cache_attention(
+        q, kq, ks, vq, vs, kv_segment_ids=seg, q_positions=pos,
+    )
+    kw = dict(causal=True, q_segment_ids=jnp.ones((B, Tq), jnp.int32),
+              kv_segment_ids=seg, q_positions=pos)
+    kd = kq.astype(jnp.float32) * ks
+    vd = vq.astype(jnp.float32) * vs
+    ref = xla_attention(q, kd, vd, **kw)
+    with jax.default_matmul_precision("float32"):
+        truth = xla_attention(q.astype(jnp.float32), kd, vd, **kw)
+    return got, ref, truth, None
+
+
 def check_quant_matmul(bits):
     from llava_plus_tpu.ops.quant import (
         dequantize_array, matmul, quantize_array, quantize_array_int4,
@@ -330,6 +368,8 @@ CHECKS = [
     ("paged_alibi", check_paged_alibi),
     ("paged_alibi_nocur_mha", lambda: check_paged_alibi_nocur(True)),
     ("paged_alibi_nocur_gqa", lambda: check_paged_alibi_nocur(False)),
+    ("quant_cache_attn_mha", lambda: check_quant_cache_attention(1)),
+    ("quant_cache_attn_gqa", lambda: check_quant_cache_attention(4)),
     ("int8_matmul", lambda: check_quant_matmul(8)),
     ("int4_matmul", lambda: check_quant_matmul(4)),
 ]
