@@ -167,6 +167,7 @@ class BatchedEngine:
         page_size: int = 128,
         pool_tokens: Optional[int] = None,
         speculate: int = 0,
+        spec_chunk: int = 4,
         prefix_cache: bool = True,
     ):
         """``paged=True`` switches the KV cache to a paged pool: pages are
@@ -202,6 +203,10 @@ class BatchedEngine:
         # k + 1 verify tokens must fit the paged kernel's self block
         # (models/llama.py gates the kernel at T <= 8)
         self.speculate = min(max(int(speculate), 0), 7)
+        # verify steps fused per dispatch (chunked like decode_chunk):
+        # each chunk is one host round-trip, the dominant per-step cost
+        # over the tunneled chip (CHIPBENCH r5: 1-step chunks = 0.66x)
+        self.spec_chunk = max(int(spec_chunk), 1)
         if paged:
             assert max_seq_len % page_size == 0
             assert prefill_bucket % page_size == 0
@@ -665,12 +670,8 @@ class BatchedEngine:
 
         eos_id = int(getattr(self.tokenizer, "eos_token_id", 2) or 2)
 
-        @functools.partial(
-            jax.jit, static_argnames=("k",),
-            donate_argnums=(1, 2, 3, 4, 5, 6),
-        )
-        def spec_step(params, cache, cur, hlen, hist, prop, budget,
-                      active, keys, temperature, top_p, *, k):
+        def _spec_body(params, cache, cur, hlen, hist, prop, budget,
+                       active, keys, temperature, top_p, *, k):
             """ONE fused speculative iteration, all state device-resident:
             verify [cur | k proposals] in one multi-token cache step,
             accept the exactly-matching greedy prefix (greedy slots; temp
@@ -743,6 +744,47 @@ class BatchedEngine:
             prop2 = _propose_dev(hist, hlen2, k)
             ret = jnp.concatenate([out, e[:, None]], axis=1)  # ONE fetch
             return ret, new_cur, hlen2, hist, prop2, budget - e, cache
+
+        @functools.partial(
+            jax.jit, static_argnames=("k", "m"),
+            donate_argnums=(1, 2, 3, 4, 5, 6),
+        )
+        def spec_step(params, cache, cur, hlen, hist, prop, budget,
+                      active, keys, temperature, top_p, *, k, m=1):
+            """m fused speculative iterations in ONE program (`lax.scan`
+            over _spec_body), returning the stacked [m, B, k+2] emitted
+            rows — one dispatch + ONE host fetch per m verify steps.
+
+            Chunking matters for the same reason plain decode chunks
+            (`decode_n`): the per-dispatch/fetch host round-trip is tens
+            of ms over the tunneled chip, which at one verify step per
+            fetch capped speculation at ~0.66x plain (CHIPBENCH r5 spec
+            stage, dispatch+fetch ~= 2x the device step). The scan body
+            compiles once; its fixed per-iteration tax (~0.4 ms) is noise
+            next to the ~22 ms bandwidth-bound verify step. Post-eos /
+            post-budget iterations inside a chunk emit e == 0 rows that
+            the host ignores (_spec_collect tracks finished slots), so a
+            mid-chunk finish wastes at most m-1 cheap masked steps."""
+            if m == 1:
+                ret, cur, hlen, hist, prop, budget, cache = _spec_body(
+                    params, cache, cur, hlen, hist, prop, budget,
+                    active, keys, temperature, top_p, k=k,
+                )
+                return ret[None], cur, hlen, hist, prop, budget, cache
+
+            def body(carry, _):
+                cache, cur, hlen, hist, prop, budget = carry
+                ret, cur, hlen, hist, prop, budget, cache = _spec_body(
+                    params, cache, cur, hlen, hist, prop, budget,
+                    active, keys, temperature, top_p, k=k,
+                )
+                return (cache, cur, hlen, hist, prop, budget), ret
+
+            (cache, cur, hlen, hist, prop, budget), rets = jax.lax.scan(
+                body, (cache, cur, hlen, hist, prop, budget), None,
+                length=m,
+            )
+            return rets, cur, hlen, hist, prop, budget, cache
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def set_token(tokens, tid, slot):
@@ -926,10 +968,11 @@ class BatchedEngine:
             def z(*shape):
                 return jnp.zeros(shape or (B,), jnp.int32)
 
-            _, _, _, _, _, _, self.cache = self._spec_prog(
-                self.params, self.cache, z(), z(), z(B, S), z(B, k),
-                z(), active, keys, temps, tops, k=self.speculate,
-            )
+            for m in sorted({1, self.spec_chunk}):
+                _, _, _, _, _, _, self.cache = self._spec_prog(
+                    self.params, self.cache, z(), z(), z(B, S), z(B, k),
+                    z(), active, keys, temps, tops, k=self.speculate, m=m,
+                )
 
         # 4. paged suffix prefill (prefix-cache hit path) + its batch-1
         # first-token sampler, at the single-bucket suffix shape
@@ -1512,63 +1555,79 @@ class BatchedEngine:
         }
         self.spec_timers["refresh"] += time.perf_counter() - t0
 
-    def _spec_dispatch(self):
-        """Dispatch one fused speculative step on the CURRENT device
-        handles (no host sync): the device pipeline stays full while the
-        previous step's emitted tokens are still in flight to the host."""
+    def _spec_dispatch(self, m: int = 1):
+        """Dispatch one fused chunk of m speculative steps on the CURRENT
+        device handles (no host sync): the device pipeline stays full
+        while the previous chunk's emitted tokens are still in flight to
+        the host."""
         st = self._spec_dev
         t0 = time.perf_counter()
         ret, cur, hlen, hist, prop, budget, self.cache = self._spec_prog(
             self.params, self.cache, st["cur"], st["hlen"], st["hist"],
             st["prop"], st["budget"], st["active"], st["keys"],
-            st["temps"], st["tops"], k=self.speculate,
+            st["temps"], st["tops"], k=self.speculate, m=m,
         )
         self.spec_timers["dispatch"] += time.perf_counter() - t0
         st.update(cur=cur, hlen=hlen, hist=hist, prop=prop, budget=budget)
         # snapshot slot->request identity: a slot that turns over between
         # dispatch and fetch (stop-string finish + admission) must not
-        # receive this step's tokens
+        # receive this chunk's tokens
         self._spec_inflight.append(
             (ret, [s.request for s in self._slots])
         )
 
     def _spec_collect(self) -> bool:
-        """Fetch the OLDEST in-flight spec step and emit its tokens.
-        Returns True when slot membership changed (the device state is
-        stale and must be refreshed)."""
+        """Fetch the OLDEST in-flight spec chunk ([m, B, k+2]) and emit
+        its tokens row by row. Returns True when slot membership changed
+        (the device state is stale and must be refreshed). A slot that
+        finishes on row r (eos/stop/budget) skips rows > r: the device
+        kept stepping it inside the chunk, but those rows are garbage by
+        construction and the refresh rebuilds its state anyway."""
         ret, owners = self._spec_inflight.popleft()
         t0 = time.perf_counter()
-        out = np.asarray(jax.device_get(ret))       # [B, k+2]
+        out = np.asarray(jax.device_get(ret))       # [m, B, k+2]
         t1 = time.perf_counter()
         self.spec_timers["fetch"] += t1 - t0
-        self.spec_steps += 1
         changed = False
-        for i, slot in enumerate(self._slots):
-            if slot.request is None or slot.request is not owners[i]:
-                continue
-            greedy = slot.request.temperature <= 0.0
-            e = int(out[i, -1])
-            if e == 0:
-                # device budget hit zero last step: finish, no new token
-                self._finish_slot(slot)
-                changed = True
-                continue
-            finished = False
-            delivered = 0
-            for j in range(e):
-                finished = self._emit_token(slot, int(out[i, j]))
+        done = [False] * len(self._slots)
+        for row in out:
+            row_live = False
+            for i, slot in enumerate(self._slots):
+                if (done[i] or slot.request is None
+                        or slot.request is not owners[i]):
+                    continue
+                row_live = True
+                greedy = slot.request.temperature <= 0.0
+                e = int(row[i, -1])
+                if e == 0:
+                    # device budget hit zero last step: finish, no new
+                    # token
+                    self._finish_slot(slot)
+                    changed = True
+                    done[i] = True
+                    continue
+                finished = False
+                delivered = 0
+                for j in range(e):
+                    finished = self._emit_token(slot, int(row[i, j]))
+                    if finished:
+                        break
+                    delivered += 1
+                if greedy:
+                    # acceptance metric counts only tokens actually
+                    # delivered (the terminating eos/stop column is not)
+                    self.spec_emitted += delivered
+                    self._spec_recent.append(delivered)
                 if finished:
-                    break
-                delivered += 1
-            if greedy:
-                # acceptance metric counts only tokens actually delivered
-                # (the terminating eos/stop column is not)
-                self.spec_emitted += delivered
-                self._spec_recent.append(delivered)
-            if finished:
-                changed = True
-            else:
-                slot.pos += e
+                    changed = True
+                    done[i] = True
+                else:
+                    slot.pos += e
+            if row_live:
+                # rows where every slot already finished mid-chunk are
+                # masked device no-ops, not steps (they would deflate the
+                # acceptance metric)
+                self.spec_steps += 1
         self.spec_timers["emit"] += time.perf_counter() - t1
         return changed
 
@@ -1623,8 +1682,16 @@ class BatchedEngine:
                     # HANDLES before N's tokens are fetched, so a verify
                     # step costs one device step (the old host-driven
                     # verify serialized proposals + acceptance on host)
+                    # adaptive chunking, mirroring the plain path: a
+                    # prepared request waiting to insert gets the next
+                    # admission point after ONE verify step; otherwise
+                    # amortize the dispatch+fetch round-trip over
+                    # spec_chunk fused steps
+                    m = (1 if (self._waiting is not None
+                               or not self._ready.empty())
+                         else self.spec_chunk)
                     while len(self._spec_inflight) < self.spec_depth:
-                        self._spec_dispatch()
+                        self._spec_dispatch(m)
                     if self._spec_collect():
                         # membership changed (eos/stop/budget): catch up
                         # and rebuild next iteration (after _admit)

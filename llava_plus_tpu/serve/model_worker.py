@@ -79,7 +79,8 @@ class JaxBackend:
                  paged: bool = False, max_seq_len: Optional[int] = None,
                  pool_tokens: Optional[int] = None,
                  rope_scaling: Optional[str] = None,
-                 speculate: int = 0, prefix_cache: bool = True,
+                 speculate: int = 0, spec_chunk: int = 4,
+                 prefix_cache: bool = True,
                  stream_interval: int = 1, warmup_len: int = 0):
         from llava_plus_tpu.models.builder import load_pretrained_model
 
@@ -148,7 +149,8 @@ class JaxBackend:
                 max_slots=max_slots, max_seq_len=self.context_len,
                 decode_chunk=decode_chunk, cache_dtype=cache_dtype,
                 mesh=mesh, paged=paged, pool_tokens=pool_tokens,
-                speculate=speculate, prefix_cache=prefix_cache,
+                speculate=speculate, spec_chunk=spec_chunk,
+                prefix_cache=prefix_cache,
             )
         self.generator = None if use_engine else Generator(
             params, self.cfg, self.tokenizer, self.image_processor,
@@ -528,6 +530,11 @@ def main():
     parser.add_argument("--speculate", type=int, default=0,
                         help="prompt-lookup speculative decoding: propose N "
                              "tokens per step (greedy streams; exact)")
+    parser.add_argument("--spec-chunk", type=int, default=4,
+                        help="verify steps fused per dispatch (one host "
+                             "round-trip each; >1 amortizes the dispatch "
+                             "tax like --decode-chunk does for plain "
+                             "decode)")
     parser.add_argument("--warmup", type=int, default=768, metavar="LEN",
                         help="compile the engine's full program set at "
                              "startup for prompts of ~LEN fused tokens "
@@ -572,7 +579,7 @@ def main():
             decode_chunk=args.decode_chunk, kv_int8=args.kv_int8,
             tp=args.tp, paged=args.paged, max_seq_len=args.max_seq_len,
             pool_tokens=args.pool_tokens, rope_scaling=args.rope_scaling,
-            speculate=args.speculate,
+            speculate=args.speculate, spec_chunk=args.spec_chunk,
             prefix_cache=not args.no_prefix_cache,
             stream_interval=args.stream_interval,
             warmup_len=args.warmup,

@@ -218,6 +218,38 @@ def test_speculative_matches_plain_greedy():
     assert spec == plain
 
 
+def test_speculative_chunked_exact():
+    """Chunked spec dispatch (spec_chunk > 1: m fused verify steps per
+    program, one host fetch per chunk) stays greedy-exact, including
+    budgets that end mid-chunk (the device keeps stepping inside the
+    chunk; the host must ignore the post-finish rows)."""
+    cfg = tiny_llava_config()
+    params = llava_model.init_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.float32
+    )
+    tok = CharTokenizer()
+    prompts = ["the cat sat on the mat the cat sat on the",
+               "abc abc abc abc abc"]
+    budgets = [7, 13]  # neither a multiple of chunk x acceptance
+
+    def run(speculate, chunk):
+        eng = BatchedEngine(
+            params, cfg, tok, max_slots=2, max_seq_len=96,
+            prefill_bucket=32, cache_dtype=jnp.float32,
+            speculate=speculate, spec_chunk=chunk,
+        )
+        try:
+            reqs = [Request(prompt=p, max_new_tokens=b, temperature=0.0)
+                    for p, b in zip(prompts, budgets)]
+            return [eng.generate(r) for r in reqs]
+        finally:
+            eng.stop()
+
+    plain = run(0, 1)
+    for chunk in (3, 8):
+        assert run(4, chunk) == plain, chunk
+
+
 def test_speculative_mixed_temperature():
     """Sampled (temp > 0) streams coexist with greedy speculation: both
     finish, greedy output still matches the plain engine."""
@@ -291,6 +323,10 @@ def test_speculative_pause_resume_exact():
     eng = BatchedEngine(
         params, cfg, tok, max_slots=1, max_seq_len=256,
         prefill_bucket=32, cache_dtype=jnp.float32, speculate=3,
+        # per-step gate cadence: with chunked dispatch the first gating
+        # check lands after spec_chunk steps, past the engineered
+        # low-acceptance warm-in window this test relies on
+        spec_chunk=1,
     )
     eng._spec_recent = __import__("collections").deque(maxlen=6)
     eng.spec_pause_len = 5  # force several pause/resume cycles in 60 tokens

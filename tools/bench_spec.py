@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 
-def run(speculate: int, new_tokens: int):
+def run(speculate: int, new_tokens: int, spec_chunk: int = 4):
     from llava_plus_tpu.data.debug_tokenizer import DebugTokenizer
     from llava_plus_tpu.models import llava as llava_model
     from llava_plus_tpu.models.configs import LLAVA_15_7B
@@ -44,6 +44,7 @@ def run(speculate: int, new_tokens: int):
     eng = BatchedEngine(
         params, cfg, tok, max_slots=1, max_seq_len=2048,
         prefill_bucket=256, cache_dtype=jnp.int8, speculate=speculate,
+        spec_chunk=spec_chunk,
     )
     try:
         warm = Request(prompt=prompt,
@@ -72,7 +73,7 @@ def run(speculate: int, new_tokens: int):
         eng.stop()
 
 
-def isolate(speculate: int = 4):
+def isolate(speculate: int = 4, spec_chunk: int = 4):
     """Break the per-emitted-token cost of the device-resident spec
     pipeline into its parts ON THE CHIP: the fused spec_step program
     itself, the [B, k+2] result fetch, and the plain decode step for
@@ -97,6 +98,7 @@ def isolate(speculate: int = 4):
     eng = BatchedEngine(
         params, cfg, tok, max_slots=1, max_seq_len=2048,
         prefill_bucket=256, cache_dtype=jnp.int8, speculate=speculate,
+        spec_chunk=spec_chunk,
     )
     try:
         warm = Request(prompt=prompt,
@@ -166,6 +168,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--spec", type=int, default=4)
     p.add_argument("--new", type=int, default=128)
+    p.add_argument("--chunk", type=int, default=4,
+                   help="verify steps fused per dispatch (engine spec_chunk)")
     p.add_argument("--only", type=int, default=None,
                    help="run a single mode (0=plain or k) in this process")
     p.add_argument("--isolate", action="store_true",
@@ -173,11 +177,11 @@ def main():
     args = p.parse_args()
 
     if args.isolate:
-        isolate(args.spec)
+        isolate(args.spec, args.chunk)
         return
 
     if args.only is not None:
-        n, dt, acc = run(args.only, args.new)
+        n, dt, acc = run(args.only, args.new, args.chunk)
         print(f"  spec={args.only}: {n} tokens in {dt:.2f}s = "
               f"{n/dt:.1f} tok/s (acceptance {acc:.2f})", flush=True)
         print("RESULT " + json.dumps({
@@ -192,7 +196,7 @@ def main():
     for mode in (0, args.spec):
         proc = subprocess.run(
             [sys.executable, __file__, "--only", str(mode),
-             "--new", str(args.new)],
+             "--new", str(args.new), "--chunk", str(args.chunk)],
             capture_output=True, text=True, timeout=3000,
         )
         out = [l for l in proc.stdout.splitlines() if l.startswith("  ")]

@@ -40,7 +40,7 @@ STAGES = [
     ("pack", [sys.executable, "tools/bench_pack.py"], 2400),
     ("eval", [sys.executable, "tools/bench_eval.py"], 3000),
     ("int8f", [sys.executable, "bench.py", "--model", "llava-1.5-7b-int8f",
-               "--batch", "16", "--kv-int8"], 2400),
+               "--batch", "16", "--kv-int8", "--loaded-ttft"], 2400),
     # decode byte budget: full step vs isolated weight-stream / KV-read
     # programs at the headline config; backs the README's "where the
     # decode milliseconds go" table (VERDICT r4 item 6)
