@@ -310,9 +310,18 @@ def run_paged_engine(model_name: str, slots: int, kv_int8: bool = True):
 
 
 def run(model_name: str, batch_size: int = 1, kv_int8: bool = False,
-        loaded_ttft: bool = False, raw_paged: bool = False):
+        loaded_ttft: bool = False, raw_paged: bool = False,
+        w8a8: bool = False):
     import jax
     import jax.numpy as jnp
+
+    if w8a8:
+        # int8 activations for the FLOP-bound prefill matmuls (2x MXU
+        # int8 path); decode matvecs keep weight-only int8 (row gate in
+        # ops/quant.matmul). Trace-time: set before the jits below.
+        from llava_plus_tpu.ops import quant
+
+        quant.set_w8a8(True)
 
     from llava_plus_tpu.constants import IMAGE_TOKEN_INDEX
     from llava_plus_tpu.data.multimodal import pad_images, plan_multimodal_batch
@@ -473,6 +482,7 @@ def run(model_name: str, batch_size: int = 1, kv_int8: bool = False,
             "batch": B,
             "cache": "paged" if raw_paged else "dense",
             "kv_cache": "int8" if kv_int8 else "bf16",
+            "w8a8_prefill": bool(w8a8),
             "ttft_s": round(ttft, 4),
             "loaded_ttft_p50_s": engine_metrics.get("loaded_ttft_p50_s"),
             "burst16_ttft_p50_s": engine_metrics.get("burst16_ttft_p50_s"),
@@ -649,6 +659,10 @@ if __name__ == "__main__":
                         help="static-batch loop over the paged pool "
                              "(identity page tables; Pallas paged decode "
                              "kernel instead of the XLA einsum)")
+    parser.add_argument("--w8a8", action="store_true",
+                        help="dynamic int8 activations for the prefill "
+                             "matmuls (2x MXU int8 path; decode "
+                             "unaffected)")
     args = parser.parse_args()
     if args.model and args.paged:
         print(json.dumps(run_paged_engine(args.model, args.batch,
@@ -656,6 +670,6 @@ if __name__ == "__main__":
     elif args.model:
         print(json.dumps(run(args.model, args.batch, args.kv_int8,
                              loaded_ttft=args.loaded_ttft,
-                             raw_paged=args.paged_raw)))
+                             raw_paged=args.paged_raw, w8a8=args.w8a8)))
     else:
         main()

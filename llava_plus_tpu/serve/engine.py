@@ -169,12 +169,21 @@ class BatchedEngine:
         speculate: int = 0,
         spec_chunk: int = 4,
         prefix_cache: bool = True,
+        w8a8: bool = False,
     ):
         """``paged=True`` switches the KV cache to a paged pool: pages are
         allocated per request for prompt + budget, so long contexts
         (max_seq_len > 2048) and short chats share one HBM pool densely.
         ``pool_tokens`` sizes the pool (default: max_slots * max_seq_len,
         i.e. no overcommit); requests queue when the pool is exhausted."""
+        if w8a8:
+            # Dynamic per-token int8 activations for the FLOP-bound
+            # prefill matmuls (decode matvecs keep the weight-only path —
+            # ops/quant.matmul gates on row count). Trace-time switch:
+            # must be set before this engine compiles any program.
+            from llava_plus_tpu.ops import quant
+
+            quant.set_w8a8(True)
         if mesh is not None:
             from llava_plus_tpu.train.step import place_params
 

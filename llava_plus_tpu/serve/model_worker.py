@@ -80,7 +80,7 @@ class JaxBackend:
                  pool_tokens: Optional[int] = None,
                  rope_scaling: Optional[str] = None,
                  speculate: int = 0, spec_chunk: int = 4,
-                 prefix_cache: bool = True,
+                 prefix_cache: bool = True, w8a8: bool = False,
                  stream_interval: int = 1, warmup_len: int = 0):
         from llava_plus_tpu.models.builder import load_pretrained_model
 
@@ -150,7 +150,7 @@ class JaxBackend:
                 decode_chunk=decode_chunk, cache_dtype=cache_dtype,
                 mesh=mesh, paged=paged, pool_tokens=pool_tokens,
                 speculate=speculate, spec_chunk=spec_chunk,
-                prefix_cache=prefix_cache,
+                prefix_cache=prefix_cache, w8a8=w8a8,
             )
         self.generator = None if use_engine else Generator(
             params, self.cfg, self.tokenizer, self.image_processor,
@@ -530,6 +530,12 @@ def main():
     parser.add_argument("--speculate", type=int, default=0,
                         help="prompt-lookup speculative decoding: propose N "
                              "tokens per step (greedy streams; exact)")
+    parser.add_argument("--w8a8", action="store_true",
+                        help="dynamic int8 activations for the prefill "
+                             "matmuls (2x MXU int8 path; decode keeps "
+                             "weight-only int8). Near-lossless on most "
+                             "checkpoints but activation-outlier "
+                             "sensitive: eval before production use")
     parser.add_argument("--spec-chunk", type=int, default=4,
                         help="verify steps fused per dispatch (one host "
                              "round-trip each; >1 amortizes the dispatch "
@@ -580,7 +586,7 @@ def main():
             tp=args.tp, paged=args.paged, max_seq_len=args.max_seq_len,
             pool_tokens=args.pool_tokens, rope_scaling=args.rope_scaling,
             speculate=args.speculate, spec_chunk=args.spec_chunk,
-            prefix_cache=not args.no_prefix_cache,
+            prefix_cache=not args.no_prefix_cache, w8a8=args.w8a8,
             stream_interval=args.stream_interval,
             warmup_len=args.warmup,
         )

@@ -258,3 +258,49 @@ def test_fused_quantized_forward_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
     )
+
+
+def test_w8a8_matmul_close_and_gated():
+    """W8A8 (dynamic per-token int8 activations) tracks the weight-only
+    path within int8 noise, and only engages above the row threshold."""
+    from llava_plus_tpu.ops import quant
+
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+    qw = quantize_array(w)
+    big = jnp.asarray(rng.normal(size=(512, 64)).astype(np.float32))
+    small = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    ref_big, ref_small = big @ w, small @ w
+
+    quant.set_w8a8(True)
+    try:
+        got = matmul(big, qw)
+        err = float(jnp.abs(got - ref_big).max() / jnp.abs(ref_big).max())
+        assert err < 0.03  # weight int8 + activation int8 noise
+        # below the threshold the weight-only path answers (bit-identical
+        # to the disabled path)
+        got_small_on = matmul(small, qw)
+    finally:
+        quant.set_w8a8(False)
+    got_small_off = matmul(small, qw)
+    np.testing.assert_array_equal(np.asarray(got_small_on),
+                                  np.asarray(got_small_off))
+
+
+def test_w8a8_batched_lead_dims():
+    """[B, T, K] inputs reshape through the W8A8 path losslessly."""
+    from llava_plus_tpu.ops import quant
+
+    rng = np.random.default_rng(6)
+    w = jnp.asarray(rng.normal(size=(32, 48)).astype(np.float32))
+    qw = quantize_array(w)
+    x = jnp.asarray(rng.normal(size=(4, 128, 32)).astype(np.float32))
+    ref = x @ w
+    quant.set_w8a8(True)
+    try:
+        got = matmul(x, qw)
+    finally:
+        quant.set_w8a8(False)
+    assert got.shape == ref.shape
+    err = float(jnp.abs(got - ref).max() / jnp.abs(ref).max())
+    assert err < 0.03
