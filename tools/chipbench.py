@@ -41,6 +41,13 @@ STAGES = [
     ("eval", [sys.executable, "tools/bench_eval.py"], 3000),
     ("int8f", [sys.executable, "bench.py", "--model", "llava-1.5-7b-int8f",
                "--batch", "16", "--kv-int8", "--loaded-ttft"], 2400),
+    # W8A8 prefill (commit 35123ba): same serving config as int8f plus
+    # dynamic int8 activations on the prefill matmuls — the MXU's 2x
+    # int8 path should cut TTFT; decode is untouched. Compare this
+    # stage's loaded_ttft_p50_s / value against the int8f stage.
+    ("w8a8", [sys.executable, "bench.py", "--model", "llava-1.5-7b-int8f",
+              "--batch", "16", "--kv-int8", "--loaded-ttft", "--w8a8"],
+     2400),
     # decode byte budget: full step vs isolated weight-stream / KV-read
     # programs at the headline config; backs the README's "where the
     # decode milliseconds go" table (VERDICT r4 item 6)
