@@ -385,11 +385,22 @@ def main(out_path=None):
             out = fn()
             if len(out) == 2:                 # (err_kernel, err_xla)
                 err_k, err_x = out
+                bf16_floor = 0.0
             else:
                 got, ref, truth, m = out
                 err_k = _err(got, truth, m)
                 err_x = _err(ref, truth, m)
-            tol = max(RATIO * err_x, FLOOR)
+                # A kernel that computes through bf16 (MXU operands,
+                # bf16 intermediates) cannot be expected to beat the
+                # bf16 representation noise of the answer itself. When
+                # the XLA reference happens to compile entirely in f32
+                # (err_x == 0, e.g. paged_alibi_nocur_mha: upcast
+                # einsums), RATIO*err_x collapses to the scalar FLOOR,
+                # which is tighter than bf16 — measure the floor from
+                # the truth instead of hardcoding it.
+                bf16_floor = 1.5 * _err(
+                    truth.astype(jnp.bfloat16), truth, m)
+            tol = max(RATIO * err_x, FLOOR, bf16_floor)
             passed = err_k <= tol
             results[name] = {
                 "pass": bool(passed),
